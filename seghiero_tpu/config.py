@@ -1,0 +1,267 @@
+"""Validated configuration.
+
+Accepts the reference's YAML schema *verbatim* (example-config.yaml:1-51 of
+/root/reference) — sections ``dataset``, ``classes``, ``model``,
+``training``, ``transform``, ``output`` — and raises explicit errors for
+the known sharp edges instead of silently misbehaving. GPU-specific keys
+(``training.device``, ``training.gpus``; consumed at train.py:109-115 of
+the reference) are accepted and ignored with a note: device placement on
+TPU is the JAX runtime's job.
+
+Extensions beyond the reference schema (all optional, all with defaults
+matching reference behavior) live under their reference sections so a
+reference config runs unchanged:
+
+``model``:
+  - ``depth``            backbone depth (default 101, mirroring the
+                         hardcoded ``depth=101`` at train.py:155; the
+                         reference README claims 18–152, README.md:95,
+                         while its code accepts only 50/101 — we support
+                         18/34/50/101/152)
+  - ``pretrained``       bool / path to a torchvision ``.pth`` to convert
+  - ``aspp_channels``, ``dilations``, ``proj_dim``, ``proj_type``,
+    ``c1_channels``      head hyperparameters (defaults = train.py:157-166)
+  - ``dtype``            compute dtype: "bfloat16" (default) or "float32"
+
+``training``:
+  - ``rmi_radius`` / ``rmi_pool_way`` / ``rmi_pool_size`` /
+    ``rmi_pool_stride``  (reference train.py:226-229)
+  - ``fine_weight``      global loss weight (train.py:199,230)
+  - ``triplet_schedule_unit``  "step" (default, fixed semantics) or
+                         "epoch" (bug-parity with train.py:287 which feeds
+                         the *epoch* index into iteration-scale thresholds)
+  - ``seed``, ``log_every``, ``eval_every``
+  - ``mesh``             e.g. ``{data: -1, model: 1}``; -1 = all devices
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import yaml
+
+from seghiero_tpu.hierarchy import Hierarchy
+
+_KNOWN_SECTIONS = {"dataset", "classes", "model", "training", "transform", "output"}
+
+
+def _as_tuple2(v, name) -> Optional[Tuple[int, int]]:
+    if v is None:
+        return None
+    if not (isinstance(v, (list, tuple)) and len(v) == 2):
+        raise ValueError(f"{name} must be a [H, W] pair, got {v!r}")
+    return (int(v[0]), int(v[1]))
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetConfig:
+    root: str = ""
+    train_image_subdir: str = ""
+    train_mask_subdir: str = ""
+    val_image_subdir: str = ""
+    val_mask_subdir: str = ""
+    # extension: "synthetic" generates an in-memory shapes dataset (no disk)
+    kind: str = "files"
+    synthetic_size: int = 64
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DatasetConfig":
+        if d.get("kind", "files") == "synthetic":
+            return cls(kind="synthetic", synthetic_size=int(d.get("synthetic_size", 64)))
+
+        def sub(split, key):
+            # lstrip mirrors dataloader.py:100-101 so absolute-looking
+            # subdirs still join under root
+            return str(d.get(split, {}).get(key, "")).lstrip("/\\")
+
+        return cls(
+            root=str(d.get("root", "")),
+            train_image_subdir=sub("train", "image_subdir"),
+            train_mask_subdir=sub("train", "mask_subdir"),
+            val_image_subdir=sub("val", "image_subdir"),
+            val_mask_subdir=sub("val", "mask_subdir"),
+        )
+
+    def image_dir(self, split: str) -> str:
+        sub = self.train_image_subdir if split == "train" else self.val_image_subdir
+        return os.path.join(self.root, sub)
+
+    def mask_dir(self, split: str) -> str:
+        sub = self.train_mask_subdir if split == "train" else self.val_mask_subdir
+        return os.path.join(self.root, sub)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    # informational in the reference (README.md:238-243); we parse it to a
+    # depth when it looks like "resnet-101" and `depth` is not given.
+    pretrained_model: str = "resnet-101"
+    depth: int = 101
+    pretrained: Any = False  # False | True | path to torchvision .pth
+    in_channels: int = 2048
+    c1_in_channels: int = 256
+    c1_channels: int = 48
+    aspp_channels: int = 512
+    dilations: Tuple[int, ...] = (1, 12, 24, 36)
+    proj_dim: int = 256
+    proj_type: str = "convmlp"
+    dtype: str = "bfloat16"
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ModelConfig":
+        d = dict(d or {})
+        depth = d.get("depth")
+        name = str(d.get("pretrained_model", "resnet-101"))
+        if depth is None:
+            tail = name.rsplit("-", 1)[-1].replace("resnet", "")
+            depth = int(tail) if tail.isdigit() else 101
+        depth = int(depth)
+        if depth not in (18, 34, 50, 101, 152):
+            raise ValueError(f"model.depth must be one of 18/34/50/101/152, got {depth}")
+        c4 = 512 if depth in (18, 34) else 2048
+        c1 = 64 if depth in (18, 34) else 256
+        return cls(
+            pretrained_model=name,
+            depth=depth,
+            pretrained=d.get("pretrained", False),
+            in_channels=int(d.get("in_channels", c4)),
+            c1_in_channels=int(d.get("c1_in_channels", c1)),
+            c1_channels=int(d.get("c1_channels", 48)),
+            aspp_channels=int(d.get("aspp_channels", 512)),
+            dilations=tuple(d.get("dilations", (1, 12, 24, 36))),
+            proj_dim=int(d.get("proj_dim", 256)),
+            proj_type=str(d.get("proj_type", "convmlp")),
+            dtype=str(d.get("dtype", "bfloat16")),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainingConfig:
+    epochs: int = 1
+    batch_size: int = 8
+    lr: float = 1e-3
+    fine_weight: float = 1.0
+    num_workers: int = 4
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    aux_weight: float = 0.4  # train.py:315
+    rmi_radius: int = 3
+    rmi_pool_way: int = 0
+    rmi_pool_size: int = 3
+    rmi_pool_stride: int = 3
+    triplet_schedule_unit: str = "step"
+    seed: int = 0
+    log_every: int = 50
+    mesh: Dict[str, int] = dataclasses.field(default_factory=lambda: {"data": -1})
+    # accepted-and-ignored reference keys, kept for round-tripping
+    device: Optional[str] = None
+    gpus: Optional[Sequence[int]] = None
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TrainingConfig":
+        d = dict(d or {})
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        # reference uses coarse_weight/super_weight in example config but
+        # never reads them (example-config.yaml:40-41); accept silently.
+        out = cls(**kwargs)
+        if out.rmi_pool_size != out.rmi_pool_stride:
+            # mirrors rmi_hiera_triplet_loss.py:260
+            raise ValueError("rmi_pool_size must equal rmi_pool_stride")
+        if out.triplet_schedule_unit not in ("step", "epoch"):
+            raise ValueError("triplet_schedule_unit must be 'step' or 'epoch'")
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformConfig:
+    resize: Optional[Tuple[int, int]] = None  # (H, W); see note below
+    hflip_prob: float = 0.5
+    normalize_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    normalize_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TransformConfig":
+        d = dict(d or {})
+        # Note: the reference mixes PIL (W,H) and F.interpolate (H,W)
+        # conventions (dataloader.py:51-56) — only safe for square sizes.
+        # We define resize as (H, W) and apply it consistently.
+        return cls(
+            resize=_as_tuple2(d.get("resize"), "transform.resize"),
+            hflip_prob=float(d.get("hflip_prob", 0.5)),
+            normalize_mean=tuple(d.get("normalize_mean", (0.485, 0.456, 0.406))),
+            normalize_std=tuple(d.get("normalize_std", (0.229, 0.224, 0.225))),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class OutputConfig:
+    checkpoint_dir: str = "./"
+    project_name: str = "seghiero"
+    metrics_jsonl: Optional[str] = None  # extension: persist epoch history
+    profile_dir: Optional[str] = None  # extension: jax.profiler trace dir
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "OutputConfig":
+        d = dict(d or {})
+        return cls(
+            checkpoint_dir=str(d.get("checkpoint_dir", "./")),
+            project_name=str(d.get("project_name", "seghiero")),
+            metrics_jsonl=d.get("metrics_jsonl"),
+            profile_dir=d.get("profile_dir"),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SegHieroConfig:
+    dataset: DatasetConfig
+    hierarchy: Hierarchy
+    model: ModelConfig
+    training: TrainingConfig
+    transform: TransformConfig
+    output: OutputConfig
+    raw: Dict[str, Any] = dataclasses.field(default_factory=dict, repr=False)
+
+    @classmethod
+    def from_dict(cls, cfg: dict) -> "SegHieroConfig":
+        unknown = set(cfg) - _KNOWN_SECTIONS
+        if unknown:
+            # the reference silently ignores unknown keys; we warn loudly
+            import warnings
+
+            warnings.warn(f"Ignoring unknown config sections: {sorted(unknown)}")
+        if "classes" not in cfg:
+            raise ValueError("config must have a 'classes' section")
+        return cls(
+            dataset=DatasetConfig.from_dict(cfg.get("dataset", {})),
+            hierarchy=Hierarchy.from_class_config(cfg["classes"]),
+            model=ModelConfig.from_dict(cfg.get("model", {})),
+            training=TrainingConfig.from_dict(cfg.get("training", {})),
+            transform=TransformConfig.from_dict(cfg.get("transform", {})),
+            output=OutputConfig.from_dict(cfg.get("output", {})),
+            raw=cfg,
+        )
+
+    @property
+    def fine_names(self) -> Dict[int, str]:
+        return {int(k): v for k, v in self.raw["classes"]["fine_names"].items()}
+
+    @property
+    def coarse_names(self) -> Dict[int, str]:
+        return {int(k): v for k, v in self.raw["classes"]["coarse_names"].items()}
+
+    @property
+    def super_names(self) -> Dict[int, str]:
+        return {
+            int(k): v
+            for k, v in self.raw["classes"].get("super_coarse_names", {}).items()
+        }
+
+
+def load_config(path: str) -> SegHieroConfig:
+    """Load and validate a SegHiero YAML config file."""
+    with open(path, "r") as f:
+        cfg = yaml.safe_load(f)
+    return SegHieroConfig.from_dict(cfg)

@@ -1,0 +1,49 @@
+"""Test configuration.
+
+Tests run on CPU with a *virtual 8-device mesh* so pjit/shard_map paths are
+exercised without TPU hardware (SURVEY.md §4 test strategy). The env vars
+must be set before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+EXAMPLE_CLASSES_3LEVEL = {
+    # mirrors /root/reference/example-config.yaml:9-29
+    "super_coarse_to_coarse_map": [[0, 2], [3]],
+    "super_coarse_names": {0: "Plant", 1: "Fungus"},
+    "coarse_to_fine_map": [[0, 3], [4, 6], [7], [8]],
+    "coarse_names": {0: "Flower", 1: "Tree", 2: "Grass", 3: "Mushroom"},
+    "fine_names": {i: f"f{i}" for i in range(9)},
+}
+
+EXAMPLE_CLASSES_2LEVEL = {
+    "coarse_to_fine_map": [[0, 3], [4, 6], [7], [8]],
+    "coarse_names": {0: "Flower", 1: "Tree", 2: "Grass", 3: "Mushroom"},
+    "fine_names": {i: f"f{i}" for i in range(9)},
+}
+
+
+@pytest.fixture
+def classes_3level():
+    return dict(EXAMPLE_CLASSES_3LEVEL)
+
+
+@pytest.fixture
+def classes_2level():
+    return dict(EXAMPLE_CLASSES_2LEVEL)
