@@ -1,0 +1,240 @@
+"""Hierarchy-consistency BCE losses and the 2-level composite loss.
+
+Rebuilds models/loss/hiera_triplet_loss.py (2-level) and the hierarchy-BCE
+half of models/loss/rmi_hiera_triplet_loss.py (3-level) with the
+per-bucket Python loops of the reference
+(hiera_triplet_loss.py:81-92, rmi_hiera_triplet_loss.py:377-442) replaced
+by *static* trace-time reductions: the hierarchy is a compile-time
+constant, so every bucket max/min unrolls into fused XLA slice-reductions
+— one kernel, no per-class launches, no dynamic shapes.
+
+Notation follows HieraSeg (arXiv:2203.14335): for pixel p and node v,
+the "max" score M↑(v) is the max of sigmoid scores over v and its
+children (used as the negative-side probability) and the "min" score
+M↓(v) is the min over v and its ancestors (positive side). MCMA/MCMB/…
+names kept so the algebra can be eyeballed against the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seghiero_tpu.hierarchy import Hierarchy
+from seghiero_tpu.losses.cross_entropy import softmax_cross_entropy
+from seghiero_tpu.losses.tree_triplet import (
+    tree_triplet_loss_range,
+    triplet_readiness,
+    triplet_schedule_factor,
+)
+
+
+# ---------------------------------------------------------------------------
+# Target preparation
+# ---------------------------------------------------------------------------
+
+
+def prepare_targets_two_level(
+    labels: jax.Array, hierarchy: Hierarchy
+) -> Tuple[jax.Array, jax.Array]:
+    """(fine, coarse) targets from fine labels (hiera_triplet_loss.py:11-38).
+
+    Ignored (255) pixels stay 255 at both levels.
+    """
+    valid = (labels >= 0) & (labels < hierarchy.n_fine)
+    safe = jnp.where(valid, labels, 0)
+    coarse = jnp.where(
+        valid, jnp.asarray(hierarchy.fine_to_coarse)[safe], hierarchy.ignore_index
+    )
+    return labels, coarse.astype(labels.dtype)
+
+
+def prepare_targets_three_level(
+    labels: jax.Array, hierarchy: Hierarchy
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(fine, mid, high) targets (rmi_hiera_triplet_loss.py:21-63), with
+    255 propagated and the fine→high LUT composed correctly
+    (reference bug #3 fixed — see hierarchy.py docstring)."""
+    valid = (labels >= 0) & (labels < hierarchy.n_fine)
+    safe = jnp.where(valid, labels, 0)
+    mid = jnp.where(
+        valid, jnp.asarray(hierarchy.fine_to_coarse)[safe], hierarchy.ignore_index
+    )
+    high = jnp.where(
+        valid, jnp.asarray(hierarchy.fine_to_super)[safe], hierarchy.ignore_index
+    )
+    return labels, mid.astype(labels.dtype), high.astype(labels.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy-consistency BCE
+# ---------------------------------------------------------------------------
+
+
+def _one_hot_valid(labels: jax.Array, n: int, ignore_index: int):
+    void = labels == ignore_index
+    safe = jnp.where(void, 0, labels)
+    oh = jax.nn.one_hot(safe, n, dtype=jnp.float32)
+    return oh, ~void
+
+
+def _bucket_max(probs_child: jax.Array, buckets, own: jax.Array) -> jax.Array:
+    """Per-bucket max over static child-id sets, joined with the bucket's
+    own channel. probs_child [..., n_child]; own [..., n_bucket]."""
+    cols = []
+    for i, ids in enumerate(buckets):
+        o = own[..., i]
+        if ids:
+            cols.append(jnp.maximum(jnp.max(probs_child[..., list(ids)], axis=-1), o))
+        else:
+            cols.append(o)  # empty bucket falls back to its own channel
+    return jnp.stack(cols, axis=-1)
+
+
+def hiera_bce_two_level(
+    logits: jax.Array,  # [B, H, W, n_fine + n_coarse] raw scores
+    targets_fine: jax.Array,  # [B, H, W]
+    targets_coarse: jax.Array,  # [B, H, W]
+    hierarchy: Hierarchy,
+    eps: float = 1e-8,
+) -> jax.Array:
+    """2-level hierarchy BCE, 5 * (fine + coarse) (hiera_triplet_loss.py:41-107).
+
+    MCMB[c] = max(fine scores in bucket c ∪ {coarse score c});
+    MCLA[f] = min(fine score f, coarse score of f's bucket).
+    BCE pulls up the min-path for positives and pushes down the max-path
+    for negatives, each level normalized by (#valid px × #classes).
+    """
+    n_fine, n_coarse = hierarchy.n_fine, hierarchy.n_coarse
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    mcma = probs[..., :n_fine]
+    mclb = probs[..., n_fine : n_fine + n_coarse]
+
+    mcmb = _bucket_max(mcma, hierarchy.fine_by_coarse, mclb)
+    mcla = jnp.minimum(mcma, mclb[..., np.asarray(hierarchy.fine_to_coarse)])
+
+    oh_f, valid_f = _one_hot_valid(targets_fine, n_fine, hierarchy.ignore_index)
+    oh_c, valid_c = _one_hot_valid(targets_coarse, n_coarse, hierarchy.ignore_index)
+    vf = valid_f[..., None].astype(jnp.float32)
+    vc = valid_c[..., None].astype(jnp.float32)
+    nvf = jnp.maximum(jnp.sum(vf), 1.0)
+    nvc = jnp.maximum(jnp.sum(vc), 1.0)
+
+    loss_fine = jnp.sum(
+        (-oh_f * jnp.log(mcla + eps) - (1.0 - oh_f) * jnp.log(1.0 - mcma + eps)) * vf
+    ) / (nvf * n_fine)
+    loss_coarse = jnp.sum(
+        (-oh_c * jnp.log(mclb + eps) - (1.0 - oh_c) * jnp.log(1.0 - mcmb + eps)) * vc
+    ) / (nvc * n_coarse)
+    return 5.0 * (loss_fine + loss_coarse)
+
+
+def hiera_bce_three_level(
+    logits: jax.Array,  # [B, H, W, n_fine + n_mid + n_high]
+    targets_fine: jax.Array,
+    targets_mid: jax.Array,
+    targets_high: jax.Array,
+    hierarchy: Hierarchy,
+    clip_min: float = 1e-6,
+) -> jax.Array:
+    """3-level hierarchy BCE, 5 * (fine + mid + high)
+    (rmi_hiera_triplet_loss.py:352-470, constants at :16-17).
+
+    Max side goes up the tree (MCMB_combined, MCMC_combined); min side
+    goes down (MCLA, MCLB_combined). All bucket memberships come from the
+    static hierarchy LUTs — the reference derives them from
+    ``fine_to_mid``/``fine_to_high`` at :379-442, identically static.
+    """
+    n_f, n_m, n_h = hierarchy.n_fine, hierarchy.n_coarse, hierarchy.n_super
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    mcma = probs[..., :n_f]
+    mcmb = probs[..., n_f : n_f + n_m]
+    mcmc = probs[..., n_f + n_m : n_f + n_m + n_h]
+    mclb, mclc = mcmb, mcmc  # raw mid/high scores, min-path inputs (:413-415)
+
+    # up the tree: fine→mid, then mid→high (:377-411)
+    mcmb_comb = _bucket_max(mcma, hierarchy.fine_by_coarse, mcmb)
+    mcmc_comb = _bucket_max(mcmb_comb, hierarchy.coarse_by_super, mcmc)
+
+    # down the tree: MCLA[f] = min(fine f, mid-of-f) (:417-425)
+    mcla = jnp.minimum(mcma, mclb[..., np.asarray(hierarchy.fine_to_coarse)])
+    # MCLB_combined[m] = min(high-of-m, mid m) (:427-442; with the fixed
+    # fine→high LUT each mid has exactly one high ancestor)
+    mclb_comb = jnp.minimum(mclb, mclc[..., np.asarray(hierarchy.coarse_to_super)])
+
+    oh_f, valid_f = _one_hot_valid(targets_fine, n_f, hierarchy.ignore_index)
+    oh_m, valid_m = _one_hot_valid(targets_mid, n_m, hierarchy.ignore_index)
+    oh_h, valid_h = _one_hot_valid(targets_high, n_h, hierarchy.ignore_index)
+
+    def level_loss(oh, pos, neg, valid, n):
+        v = valid[..., None].astype(jnp.float32)
+        nv = jnp.maximum(jnp.sum(v), 1.0)
+        return jnp.sum(
+            (-oh * jnp.log(pos + clip_min) - (1.0 - oh) * jnp.log(1.0 - neg + clip_min))
+            * v
+        ) / (nv * n)
+
+    loss_f = level_loss(oh_f, mcla, mcma, valid_f, n_f)
+    loss_m = level_loss(oh_m, mclb_comb, mcmb_comb, valid_m, n_m)
+    loss_h = level_loss(oh_h, mclc, mcmc_comb, valid_h, n_h)  # :464-468
+    return 5.0 * (loss_f + loss_m + loss_h)
+
+
+# ---------------------------------------------------------------------------
+# 2-level composite loss (BCE + CE + scheduled triplet)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class HieraTripletLoss:
+    """2-level composite loss (hiera_triplet_loss.py:110-211), pure/jittable.
+
+    ``loss = loss_weight * (5·hieraBCE + CE_fine + CE_coarse
+             + ready · schedule(step) · triplet)``
+
+    Call signature mirrors the reference forward: ``(step, embedding,
+    cls_score_before, cls_score, label)``. ``cls_score_before`` (the 1/8
+    fine slice) is accepted for interface parity but — exactly like the
+    reference (hiera_triplet_loss.py:163) — unused; the triplet runs on
+    the embedding.
+
+    ``axis_name`` routes the readiness gate through a ``pmin`` over the
+    data mesh axis (the reference's DDP all_gather at :193-200).
+    """
+
+    hierarchy: Hierarchy
+    loss_weight: float = 1.0
+    schedule_total_steps: int = 80_000  # :204
+    max_triplet: int = 200
+    margin: float = 0.6
+    axis_name: Optional[str] = None
+
+    def __call__(
+        self,
+        step: jax.Array,
+        embedding: jax.Array,  # [B, h, w, D] L2-normalized
+        cls_score_before: jax.Array,  # [B, h', w', n_fine] (unused; parity)
+        cls_score: jax.Array,  # [B, H, W, n_fine + n_coarse]
+        label: jax.Array,  # [B, H, W]
+    ) -> jax.Array:
+        h = self.hierarchy
+        t_fine, t_coarse = prepare_targets_two_level(label, h)
+        loss = hiera_bce_two_level(cls_score, t_fine, t_coarse, h)
+        loss = loss + softmax_cross_entropy(
+            cls_score[..., : h.n_fine], t_fine, divide_by="all"
+        )
+        loss = loss + softmax_cross_entropy(
+            cls_score[..., h.n_fine : h.n_fine + h.n_coarse], t_coarse, divide_by="all"
+        )
+
+        triplet, class_count = tree_triplet_loss_range(
+            embedding, label, h, max_triplet=self.max_triplet, margin=self.margin
+        )
+        ready = triplet_readiness(class_count, self.axis_name)
+        factor = triplet_schedule_factor(step, self.schedule_total_steps)
+        loss = loss + jnp.where(ready, factor * triplet, 0.0)
+        return loss * self.loss_weight
