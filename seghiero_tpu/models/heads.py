@@ -1,0 +1,191 @@
+"""Decode heads in Flax (NHWC).
+
+Rebuilds models/head/sep_aspp_contrast_head.py of the reference:
+  - ``ProjectionHead``            (:6-30)   — C6
+  - ``DepthwiseSeparableConv``    (:33-62)  — C7
+  - ``DepthwiseSeparableASPP``    (:65-132) — C8
+  - ``SepASPPContrastHead``       (:135-254)— C9
+plus the inline aux head of train.py:168-173 — C10.
+
+TPU notes:
+  * Depthwise convs lower to XLA ``feature_group_count`` convolutions
+    which Mosaic maps onto the VPU/MXU directly; the
+    depthwise→BN→ReLU→pointwise chain is left to XLA fusion (profiling
+    hook point for a Pallas fused kernel lives in ops/).
+  * The reference upsamples the 1×1 global-pool branch back to feature
+    size with bilinear interpolation (:106) — on a 1×1 source that is a
+    broadcast, so we broadcast (identical values, no gather work).
+  * The reference head keeps a ``step`` buffer incremented every forward
+    (:169,223) that nothing consumes; our step lives in the train state
+    where it belongs. Checkpoint importers ignore the buffer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from seghiero_tpu.models.resnet import batch_norm, conv
+from seghiero_tpu.ops.resize import resize_bilinear
+
+
+class ProjectionHead(nn.Module):
+    """Per-pixel L2-normalized embedding ('linear' = 1×1 conv;
+    'convmlp' = 1×1→BN→ReLU→1×1). Reference :6-30."""
+
+    proj_dim: int = 256
+    proj_type: str = "convmlp"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.proj_type == "linear":
+            y = conv(self.proj_dim, 1, dtype=self.dtype, name="proj")(x)
+        elif self.proj_type == "convmlp":
+            dim_in = x.shape[-1]
+            y = conv(dim_in, 1, dtype=self.dtype, name="fc1")(x)
+            y = batch_norm(train, self.dtype, name="bn")(y)
+            y = nn.relu(y)
+            y = conv(self.proj_dim, 1, dtype=self.dtype, name="fc2")(y)
+        else:
+            raise ValueError(f"Unknown proj type: {self.proj_type}")
+        # L2-normalize over channels in f32 (rsqrt of tiny sums is
+        # precision-sensitive); matches F.normalize(p=2, dim=1, eps=1e-12)
+        y = y.astype(jnp.float32)
+        norm = jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
+        return y / norm
+
+
+class DepthwiseSeparableConv(nn.Module):
+    """depthwise(k×k, dilated) → BN → ReLU → pointwise 1×1 → BN → ReLU.
+    Reference :33-62."""
+
+    features: int
+    kernel: int = 3
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        c_in = x.shape[-1]
+        pad = self.dilation * (self.kernel - 1) // 2
+        y = nn.Conv(
+            c_in,
+            (self.kernel, self.kernel),
+            padding=[(pad, pad), (pad, pad)],
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=c_in,
+            use_bias=False,
+            dtype=self.dtype,
+            name="depthwise",
+        )(x)
+        y = batch_norm(train, self.dtype, name="bn_dw")(y)
+        y = nn.relu(y)
+        y = conv(self.features, 1, dtype=self.dtype, name="pointwise")(y)
+        y = batch_norm(train, self.dtype, name="bn_pw")(y)
+        return nn.relu(y)
+
+
+class DepthwiseSeparableASPP(nn.Module):
+    """ASPP: global-pool branch + 1×1 branch + |dilations[1:]| dilated
+    sep-conv branches, concatenated. Output channel order mirrors the
+    reference forward (:100-114): [image_pool, 1×1, sep(d1), sep(d2), ...].
+    """
+
+    channels: int
+    dilations: Sequence[int] = (1, 12, 24, 36)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        H, W = x.shape[1:3]
+        # image-pool branch: GAP → 1×1 conv → BN → ReLU → broadcast
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        imgp = conv(self.channels, 1, dtype=self.dtype, name="image_pool_conv")(pooled)
+        imgp = batch_norm(train, self.dtype, name="image_pool_bn")(imgp)
+        imgp = nn.relu(imgp)
+        imgp = jnp.broadcast_to(imgp, (x.shape[0], H, W, self.channels))
+
+        branches = [imgp]
+        y = conv(self.channels, 1, dtype=self.dtype, name="branch0_conv")(x)
+        y = batch_norm(train, self.dtype, name="branch0_bn")(y)
+        branches.append(nn.relu(y))
+        for i, d in enumerate(self.dilations[1:], start=1):
+            branches.append(
+                DepthwiseSeparableConv(
+                    self.channels, 3, dilation=d, dtype=self.dtype, name=f"branch{i}"
+                )(x, train)
+            )
+        return jnp.concatenate(branches, axis=-1)
+
+
+class SepASPPContrastHead(nn.Module):
+    """DeepLabV3+-style decode head with a contrastive projection.
+
+    forward([C1..C4]) → (logits [B, H/4, W/4, num_classes],
+                          embedding [B, h4, w4, proj_dim])
+    where h4/w4 is C4's resolution. Reference :212-254.
+    """
+
+    num_classes: int
+    c1_channels: int = 48
+    aspp_channels: int = 512
+    dilations: Sequence[int] = (1, 12, 24, 36)
+    proj_dim: int = 256
+    proj_type: str = "convmlp"
+    use_c1_skip: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool):
+        c1, c4 = feats[0], feats[-1]
+
+        embedding = ProjectionHead(
+            self.proj_dim, self.proj_type, dtype=self.dtype, name="proj_head"
+        )(c4, train)
+
+        y = DepthwiseSeparableASPP(
+            self.aspp_channels, self.dilations, dtype=self.dtype, name="aspp"
+        )(c4, train)
+        y = conv(self.aspp_channels, 1, dtype=self.dtype, name="bottleneck_conv")(y)
+        y = batch_norm(train, self.dtype, name="bottleneck_bn")(y)
+        y = nn.relu(y)
+
+        if self.use_c1_skip:
+            skip = conv(self.c1_channels, 1, dtype=self.dtype, name="c1_conv")(c1)
+            skip = batch_norm(train, self.dtype, name="c1_bn")(skip)
+            skip = nn.relu(skip)
+            y = resize_bilinear(y.astype(jnp.float32), c1.shape[1:3]).astype(self.dtype)
+            y = jnp.concatenate([y, skip], axis=-1)
+
+        y = DepthwiseSeparableConv(
+            self.aspp_channels, 3, dtype=self.dtype, name="sep_bottleneck0"
+        )(y, train)
+        y = DepthwiseSeparableConv(
+            self.aspp_channels, 3, dtype=self.dtype, name="sep_bottleneck1"
+        )(y, train)
+
+        logits = nn.Conv(
+            self.num_classes,
+            (1, 1),
+            use_bias=True,
+            dtype=self.dtype,
+            name="cls_seg",
+        )(y)
+        return logits.astype(jnp.float32), embedding
+
+
+class AuxHead(nn.Module):
+    """1×1 conv → BN → ReLU on C3, fine classes only (train.py:168-173).
+    (Yes, ReLU *after* the classifier — kept for parity.)"""
+
+    n_fine: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, c3, train: bool):
+        y = conv(self.n_fine, 1, dtype=self.dtype, name="conv")(c3)
+        y = batch_norm(train, self.dtype, name="bn")(y)
+        return nn.relu(y).astype(jnp.float32)

@@ -1,0 +1,78 @@
+"""Assembled hierarchical segmenter = backbone + decode head + aux head.
+
+The reference assembles these as three separate nn.Modules in train.py
+(:154-173) and infer.py (:253-263); we package them as one Flax module so
+a single ``init``/``apply`` covers the whole forward and the parameter
+tree has stable top-level keys (``backbone`` / ``head`` / ``aux_head``)
+that mirror the reference checkpoint layout for conversion.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from seghiero_tpu.config import ModelConfig, SegHieroConfig
+from seghiero_tpu.models.heads import AuxHead, SepASPPContrastHead
+from seghiero_tpu.models.resnet import ResNetBackbone
+
+
+class HieroSegmenter(nn.Module):
+    """forward(images NHWC) → dict with:
+      - ``logits``     [B, H/4, W/4, num_classes]  (fine|coarse|super)
+      - ``embedding``  [B, H/32, W/32, proj_dim]   L2-normalized
+      - ``aux_logits`` [B, H/16, W/16, n_fine]     (when with_aux)
+    """
+
+    num_classes: int
+    n_fine: int
+    depth: int = 101
+    c1_channels: int = 48
+    aspp_channels: int = 512
+    dilations: tuple = (1, 12, 24, 36)
+    proj_dim: int = 256
+    proj_type: str = "convmlp"
+    with_aux: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        feats = ResNetBackbone(self.depth, dtype=self.dtype, name="backbone")(
+            images, train
+        )
+        logits, embedding = SepASPPContrastHead(
+            num_classes=self.num_classes,
+            c1_channels=self.c1_channels,
+            aspp_channels=self.aspp_channels,
+            dilations=tuple(self.dilations),
+            proj_dim=self.proj_dim,
+            proj_type=self.proj_type,
+            dtype=self.dtype,
+            name="head",
+        )(feats, train)
+        out = {"logits": logits, "embedding": embedding}
+        if self.with_aux:
+            out["aux_logits"] = AuxHead(self.n_fine, dtype=self.dtype, name="aux_head")(
+                feats[2], train
+            )
+        return out
+
+
+def build_model(cfg: SegHieroConfig, with_aux: bool = True) -> HieroSegmenter:
+    """Model from a validated config (mirrors train.py:154-173 defaults)."""
+    m: ModelConfig = cfg.model
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[m.dtype]
+    return HieroSegmenter(
+        num_classes=cfg.hierarchy.total_classes,
+        n_fine=cfg.hierarchy.n_fine,
+        depth=m.depth,
+        c1_channels=m.c1_channels,
+        aspp_channels=m.aspp_channels,
+        dilations=tuple(m.dilations),
+        proj_dim=m.proj_dim,
+        proj_type=m.proj_type,
+        with_aux=with_aux,
+        dtype=dtype,
+    )
