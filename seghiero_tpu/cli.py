@@ -1,0 +1,103 @@
+"""Command-line entry points.
+
+Flag-compatible with the reference CLIs:
+  * train: ``--config`` (train.py:24-34) + extensions ``--resume``,
+    ``--quiet``.
+  * infer: ``--config --image --checkpoint --device --output-dir``
+    (infer.py:183-213). ``--device`` is accepted for compatibility and
+    ignored — device placement is the JAX runtime's job; ``--image`` may
+    be given multiple times (batched multi-image inference, an
+    extension).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def train_main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="Train a hierarchical segmentation model from a single YAML config"
+    )
+    p.add_argument("--config", type=str, required=True, help="Path to the YAML config")
+    p.add_argument(
+        "--resume", action="store_true", help="Resume from the latest checkpoint"
+    )
+    p.add_argument("--quiet", action="store_true", help="Less console output")
+    args = p.parse_args(argv)
+
+    from seghiero_tpu.config import load_config
+    from seghiero_tpu.train.trainer import Trainer
+
+    cfg = load_config(args.config)
+    if cfg.training.gpus is not None or cfg.training.device not in (None, "tpu"):
+        print(
+            f"→ config requests device={cfg.training.device!r} gpus={cfg.training.gpus}"
+            " — ignored on the JAX/TPU runtime (devices are auto-detected)"
+        )
+
+    trainer = Trainer(cfg, verbose=not args.quiet, resume=args.resume)
+    n_train, n_val = len(trainer.train_ds), len(trainer.val_ds)
+    print(f"Number of train samples: {n_train}")
+    print(f"Number of val   samples: {n_val}")
+    h = cfg.hierarchy
+    print(
+        f"n_fine={h.n_fine}, n_coarse={h.n_coarse}, has_super={h.has_super}, "
+        f"n_super={h.n_super}"
+    )
+    print(f"Total classes (output dim) = {h.total_classes}")
+    print(f"Mesh: {dict(trainer.mesh.shape)} over {trainer.mesh.devices.size} device(s)")
+
+    trainer.fit()
+    print("Training complete.")
+    return 0
+
+
+def infer_main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="Run inference on image(s) using a trained model and YAML config"
+    )
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument(
+        "--image",
+        type=str,
+        required=True,
+        action="append",
+        help="Input image path (repeatable for batched inference)",
+    )
+    p.add_argument(
+        "--checkpoint",
+        type=str,
+        default=None,
+        help="Orbax step dir or reference .pth; defaults to the project's best",
+    )
+    p.add_argument(
+        "--device",
+        type=str,
+        default=None,
+        help="Accepted for reference-CLI compatibility; ignored (JAX runtime)",
+    )
+    p.add_argument("--output-dir", type=str, default=".")
+    args = p.parse_args(argv)
+
+    from seghiero_tpu.config import load_config
+    from seghiero_tpu.infer.predictor import Predictor
+
+    cfg = load_config(args.config)
+    if args.device:
+        print(f"→ --device {args.device!r} ignored (JAX selects devices)")
+
+    predictor = Predictor.from_checkpoint(cfg, args.checkpoint)
+    for image_path in args.image:
+        preds, _ = predictor.predict_image(image_path)
+        base = os.path.splitext(os.path.basename(image_path))[0]
+        for path in predictor.export_masks(preds, args.output_dir, base):
+            print(f"→ Saved {path}")
+    print("Inference complete.")
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(train_main())

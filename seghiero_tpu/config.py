@@ -264,4 +264,6 @@ def load_config(path: str) -> SegHieroConfig:
     """Load and validate a SegHiero YAML config file."""
     with open(path, "r") as f:
         cfg = yaml.safe_load(f)
+    if not isinstance(cfg, dict):
+        raise ValueError(f"{path} is not a YAML mapping (got {type(cfg).__name__})")
     return SegHieroConfig.from_dict(cfg)

@@ -1,0 +1,168 @@
+"""Inference engine: checkpoint restore + batched per-level prediction.
+
+Rebuilds infer.py of the reference (C17) with:
+  * a jitted forward + per-level argmax (the "hierarchy decode" is an
+    independent argmax per channel slice, infer.py:302-312);
+  * batched multi-image prediction sharded over the data mesh axis
+    (BASELINE config #5 — the reference is single-image only);
+  * checkpoint sources: our Orbax checkpoints (best pointer fixes the
+    reference's train/infer filename mismatch, train.py:430-433 vs
+    infer.py:271-273) or a *reference torch .pth* converted on the fly
+    (drop-in migration).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from seghiero_tpu.config import SegHieroConfig
+from seghiero_tpu.data.pipeline import normalize_images
+from seghiero_tpu.models.segmenter import build_model
+from seghiero_tpu.ops.resize import resize_bilinear
+from seghiero_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+
+
+def preprocess_image(path: str, resize: Optional[Tuple[int, int]]):
+    """PIL load + optional bilinear resize; returns (uint8 HWC, orig_hw,
+    PIL). Mirrors infer.py:50-75 but keeps uint8 (normalize on device)."""
+    img = Image.open(path).convert("RGB")
+    orig_w, orig_h = img.size
+    if resize is not None:
+        h, w = resize
+        img = img.resize((w, h), Image.BILINEAR)
+    return np.asarray(img, dtype=np.uint8), (orig_h, orig_w), img
+
+
+@dataclasses.dataclass
+class Predictor:
+    cfg: SegHieroConfig
+    variables: Dict
+    mesh: object = None
+
+    def __post_init__(self):
+        if self.mesh is None:
+            self.mesh = make_mesh({"data": 1})
+        self.model = build_model(self.cfg)
+        h = self.cfg.hierarchy
+        slices = dict(zip(("fine", "coarse", "super"), h.level_slices))
+
+        def _predict(variables, images_u8, out_hw):
+            images = normalize_images(
+                images_u8,
+                self.cfg.transform.normalize_mean,
+                self.cfg.transform.normalize_std,
+            )
+            out = self.model.apply(variables, images, train=False)
+            logits = resize_bilinear(out["logits"], out_hw)  # infer.py:298-300
+            preds = {
+                lvl: jnp.argmax(logits[..., lo:hi], axis=-1).astype(jnp.int32)
+                for lvl, (lo, hi) in slices.items()
+            }
+            return preds, logits
+
+        self._predict = jax.jit(_predict, static_argnums=(2,))
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(
+        cls, cfg: SegHieroConfig, checkpoint: Optional[str] = None, mesh=None
+    ) -> "Predictor":
+        """checkpoint may be: None (best checkpoint under
+        output.checkpoint_dir/project), an Orbax step dir, or a reference
+        torch ``.pth`` file (converted via models/torch_convert)."""
+        if checkpoint and checkpoint.endswith((".pth", ".pt")):
+            from seghiero_tpu.models.torch_convert import (
+                import_reference_checkpoint,
+                load_torch_file,
+            )
+
+            ckpt = load_torch_file(checkpoint)
+            variables = import_reference_checkpoint(
+                ckpt, cfg.model.depth, cfg.model.proj_type
+            )
+            variables = jax.tree_util.tree_map(jnp.asarray, variables)
+            return cls(cfg, variables, mesh)
+
+        # Orbax path: restore best (or the given step dir) into a template
+        from seghiero_tpu.train.checkpoint import CheckpointManager
+        from seghiero_tpu.train.optim import make_optimizer
+        from seghiero_tpu.train.trainer import TrainState
+
+        model = build_model(cfg)
+        hw = cfg.transform.resize or (64, 64)
+        template_vars = model.init(
+            jax.random.key(0), jnp.zeros((1, hw[0], hw[1], 3)), train=False
+        )
+        tx = make_optimizer(cfg.training)
+        template = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=template_vars["params"],
+            batch_stats=template_vars["batch_stats"],
+            opt_state=tx.init(template_vars["params"]),
+        )
+        mngr = CheckpointManager(cfg.output.checkpoint_dir, cfg.output.project_name)
+        if checkpoint:
+            state = mngr._ckptr.restore(os.path.join(checkpoint, "state"), template)
+        else:
+            restored = mngr.restore_best(template)
+            if restored is None:
+                raise FileNotFoundError(
+                    f"No checkpoint found under {mngr.root}; pass --checkpoint"
+                )
+            state, _ = restored
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return cls(cfg, variables, mesh)
+
+    # ------------------------------------------------------------------
+    def predict_array(
+        self, images_u8: np.ndarray, out_hw: Optional[Tuple[int, int]] = None
+    ) -> Dict[str, np.ndarray]:
+        """Batched prediction. images_u8 [B, H, W, 3] → per-level int32
+        masks [B, out_h, out_w] (out defaults to input size)."""
+        out_hw = out_hw or images_u8.shape[1:3]
+        images = jax.device_put(images_u8, batch_sharding(self.mesh))
+        variables = jax.device_put(self.variables, replicated_sharding(self.mesh))
+        preds, _ = self._predict(variables, images, tuple(out_hw))
+        return {k: np.asarray(v) for k, v in preds.items()}
+
+    def predict_image(self, path: str) -> Tuple[Dict[str, np.ndarray], Image.Image]:
+        """Single-image path: resize per config, predict, upsample masks
+        to the ORIGINAL image size (infer.py:291-312)."""
+        arr, orig_hw, pil = preprocess_image(path, self.cfg.transform.resize)
+        preds = self.predict_array(arr[None], out_hw=orig_hw)
+        return {k: v[0] for k, v in preds.items()}, pil
+
+    # ------------------------------------------------------------------
+    def export_masks(
+        self, preds: Dict[str, np.ndarray], output_dir: str, base_name: str
+    ) -> List[str]:
+        """Write grayscale + colorized-with-indices PNGs per level
+        (infer.py:314-353). Returns written paths."""
+        from seghiero_tpu.infer.viz import (
+            create_colormap,
+            draw_class_indices,
+            mask_to_color_image,
+            save_mask,
+        )
+
+        h = self.cfg.hierarchy
+        n_per_level = {"fine": h.n_fine, "coarse": h.n_coarse, "super": h.n_super}
+        os.makedirs(output_dir, exist_ok=True)
+        written = []
+        for lvl, mask in preds.items():
+            p = os.path.join(output_dir, f"{base_name}_{lvl}.png")
+            save_mask(mask, p)
+            written.append(p)
+            color = mask_to_color_image(mask, create_colormap(n_per_level[lvl]))
+            color = draw_class_indices(mask, color)
+            pc = os.path.join(output_dir, f"{base_name}_{lvl}_color.png")
+            color.save(pc)
+            written.append(pc)
+        return written

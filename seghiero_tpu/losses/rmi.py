@@ -92,12 +92,22 @@ def rmi_lower_bound(
     pr = _neighborhood_vectors(probs, radius).astype(compute_dtype)
     la = jax.lax.stop_gradient(la)  # targets carry no gradient (:500)
 
+    # TPU numerics: f32 matmuls default to bf16-mantissa passes on the
+    # MXU, which is enough error over N ≈ H·W terms to push these tiny
+    # Gram matrices off positive-definite and NaN the Cholesky. Force
+    # full-f32 accumulation for the covariance contractions (negligible
+    # cost: the matrices are r²×r²).
+    hi = jax.lax.Precision.HIGHEST
     diag = jnp.eye(half_d, dtype=compute_dtype)
-    la_cov = jnp.einsum("bcin,bcjn->bcij", la, la)
-    pr_cov = jnp.einsum("bcin,bcjn->bcij", pr, pr)
-    la_pr_cov = jnp.einsum("bcin,bcjn->bcij", la, pr)
+    la_cov = jnp.einsum("bcin,bcjn->bcij", la, la, precision=hi)
+    pr_cov = jnp.einsum("bcin,bcjn->bcij", pr, pr, precision=hi)
+    la_pr_cov = jnp.einsum("bcin,bcjn->bcij", la, pr, precision=hi)
     pr_cov_inv = jnp.linalg.inv(pr_cov + diag * _POS_ALPHA)
-    appro_var = la_cov - la_pr_cov @ pr_cov_inv @ jnp.swapaxes(la_pr_cov, -1, -2)
+    appro_var = la_cov - jnp.einsum(
+        "bcij,bcjk,bclk->bcil", la_pr_cov, pr_cov_inv, la_pr_cov, precision=hi
+    )
+    # symmetrize: inv() round-off breaks exact symmetry before Cholesky
+    appro_var = 0.5 * (appro_var + jnp.swapaxes(appro_var, -1, -2))
 
     chol = jnp.linalg.cholesky(appro_var + diag * _POS_ALPHA)
     logdet = 2.0 * jnp.sum(

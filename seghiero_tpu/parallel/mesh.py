@@ -1,0 +1,70 @@
+"""Device mesh and sharding rules.
+
+The reference has no working distribution: its ``gpus:`` key only sets
+CUDA_VISIBLE_DEVICES (train.py:109-113) and the DDP ``all_gather`` inside
+the losses is dead code (SURVEY.md §2 parallelism table). Here data
+parallelism is first-class:
+
+  * a 2-axis mesh ``(data, model)`` — batch sharded over ``data``;
+    ``model`` is exposed from day 1 for channel-sharded convs (TP) but
+    defaults to size 1 (a ResNet-101-scale model does not need TP; the
+    axis exists so configs/shardings don't change when it does);
+  * parameters/optimizer state replicated, batch sharded → the gradient
+    all-reduce is inserted by the partitioner and rides ICI;
+  * the triplet readiness gate (the one real collective the loss
+    semantics require) is a ``pmin`` over ``data`` via ``shard_map``
+    (losses/tree_triplet.py:triplet_readiness).
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh``
+(standard JAX runtime; ICI intra-slice, DCN across slices).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(spec: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
+    """Build a ``Mesh`` from ``{axis: size}``; -1 = all remaining devices.
+
+    Defaults to pure data-parallel over every visible device.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    spec = dict(spec or {DATA_AXIS: -1})
+    spec.setdefault(DATA_AXIS, -1)
+    spec.setdefault(MODEL_AXIS, 1)
+
+    sizes = dict(spec)
+    wildcard = [k for k, v in sizes.items() if v == -1]
+    fixed = int(np.prod([v for v in sizes.values() if v != -1]))
+    if len(wildcard) > 1:
+        raise ValueError("at most one mesh axis may be -1")
+    if wildcard:
+        if n % fixed:
+            raise ValueError(f"{n} devices not divisible by fixed axes {sizes}")
+        sizes[wildcard[0]] = n // fixed
+    need = int(np.prod(list(sizes.values())))
+    if need > n:
+        raise ValueError(f"mesh {sizes} needs {need} devices, only {n} visible")
+
+    axis_names = (DATA_AXIS, MODEL_AXIS)
+    shape = (sizes[DATA_AXIS], sizes[MODEL_AXIS])
+    # a mesh smaller than the machine is fine — use the first `need` devices
+    return Mesh(np.asarray(devices[:need]).reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim sharded over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

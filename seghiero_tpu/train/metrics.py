@@ -1,0 +1,97 @@
+"""Segmentation metrics.
+
+The reference's only metric is fine-level pixel accuracy computed inline
+(train.py:381-393). We provide per-level pixel accuracy AND mIoU — mIoU
+does not exist anywhere in the reference (SURVEY.md C18) but is the
+north-star parity metric, so the eval harness accumulates a per-level
+confusion matrix on-device (scatter-add, O(n²) ints) and derives both.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def confusion_matrix(
+    preds: jax.Array, labels: jax.Array, num_classes: int, ignore_index: int = 255
+) -> jax.Array:
+    """[num_classes, num_classes] counts over non-ignored pixels
+    (rows = truth, cols = prediction)."""
+    valid = labels != ignore_index
+    t = jnp.where(valid, labels, 0).reshape(-1)
+    p = preds.reshape(-1)
+    w = valid.reshape(-1).astype(jnp.int32)
+    idx = t * num_classes + p
+    cm = jnp.zeros((num_classes * num_classes,), jnp.int32).at[idx].add(w)
+    return cm.reshape(num_classes, num_classes)
+
+
+def pixel_accuracy_counts(preds, labels, ignore_index: int = 255):
+    """(correct, valid) pixel counts (train.py:381-385 semantics)."""
+    valid = labels != ignore_index
+    correct = jnp.sum(((preds == labels) & valid).astype(jnp.int64))
+    return correct, jnp.sum(valid.astype(jnp.int64))
+
+
+def miou_from_confusion(cm: np.ndarray) -> float:
+    """Mean IoU over classes that appear in truth or prediction."""
+    cm = np.asarray(cm, np.float64)
+    tp = np.diag(cm)
+    denom = cm.sum(0) + cm.sum(1) - tp
+    present = denom > 0
+    if not present.any():
+        return 0.0
+    return float(np.mean(tp[present] / denom[present]))
+
+
+def accuracy_topk(logits: jax.Array, labels: jax.Array, topk=(1,), thresh=None):
+    """mmseg-style top-k accuracy (models/loss/accuracy.py:4-49 of the
+    reference — dead code there, live utility here). logits [..., C]."""
+    maxk = max(topk)
+    _, pred = jax.lax.top_k(logits, maxk)  # [..., maxk]
+    correct = pred == labels[..., None]
+    if thresh is not None:
+        correct = correct & (jnp.max(logits, axis=-1, keepdims=True) > thresh)
+    out = []
+    total = labels.size
+    for k in topk:
+        out.append(jnp.sum(correct[..., :k]).astype(jnp.float32) * 100.0 / total)
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+@dataclasses.dataclass
+class SegMetrics:
+    """Host-side accumulator over eval batches."""
+
+    num_classes_per_level: Dict[str, int]
+    cms: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    correct: Dict[str, int] = dataclasses.field(default_factory=dict)
+    valid: Dict[str, int] = dataclasses.field(default_factory=dict)
+    loss_sum: float = 0.0
+    batches: int = 0
+
+    def __post_init__(self):
+        for lvl, n in self.num_classes_per_level.items():
+            self.cms[lvl] = np.zeros((n, n), np.int64)
+            self.correct[lvl] = 0
+            self.valid[lvl] = 0
+
+    def update(self, loss: float, level_stats: Dict[str, Dict]):
+        self.loss_sum += float(loss)
+        self.batches += 1
+        for lvl, s in level_stats.items():
+            self.cms[lvl] += np.asarray(s["cm"], np.int64)
+            self.correct[lvl] += int(s["correct"])
+            self.valid[lvl] += int(s["valid"])
+
+    def summary(self) -> Dict[str, float]:
+        out = {"loss": self.loss_sum / max(self.batches, 1)}
+        for lvl in self.num_classes_per_level:
+            out[f"{lvl}_acc"] = self.correct[lvl] / max(self.valid[lvl], 1)
+            out[f"{lvl}_miou"] = miou_from_confusion(self.cms[lvl])
+        return out

@@ -1,0 +1,385 @@
+"""Training loop: jitted train/eval steps + epoch orchestration.
+
+Rebuilds train.py of the reference (C16) TPU-first:
+
+  * ONE jitted ``train_step`` closed over the static hierarchy/config —
+    forward, both logit resizes, the full composite loss, backward, and
+    the SGD update all compile into a single XLA program (the reference
+    re-launches hundreds of kernels per step and syncs with ``.item()``
+    per batch, train.py:319).
+  * batch sharded over the mesh 'data' axis; params/opt-state replicated.
+    The gradient all-reduce is inserted by the partitioner (implicit
+    pjit data parallelism); BatchNorm statistics are computed over the
+    *global* batch (sync-BN semantics — deliberate divergence from the
+    reference's per-device BN, noted in SURVEY §7 hard part (c)).
+  * the triplet schedule is driven by the *global optimizer step* by
+    default, fixing reference sharp edge #6 (train.py:287 feeds the epoch
+    index into iteration-scale thresholds); set
+    ``training.triplet_schedule_unit: epoch`` for bug-parity.
+  * donated state: parameters update in place, no HBM double-buffering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from seghiero_tpu.config import SegHieroConfig
+from seghiero_tpu.data.pipeline import BatchLoader, normalize_images
+from seghiero_tpu.data.dataset import build_dataset
+from seghiero_tpu.hierarchy import Hierarchy
+from seghiero_tpu.losses import HieraTripletLoss, RMIHieraTripletLoss
+from seghiero_tpu.losses.cross_entropy import softmax_cross_entropy
+from seghiero_tpu.models.segmenter import HieroSegmenter, build_model
+from seghiero_tpu.ops.resize import half_size, resize_bilinear
+from seghiero_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from seghiero_tpu.train.checkpoint import CheckpointManager
+from seghiero_tpu.train.metrics import (
+    SegMetrics,
+    confusion_matrix,
+    pixel_accuracy_counts,
+)
+from seghiero_tpu.train.optim import make_optimizer
+from seghiero_tpu.utils.logging_util import MetricsLogger
+from seghiero_tpu.utils.profiling import StepTimer, maybe_profile
+from seghiero_tpu.utils.tables import ascii_table
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_composite_loss(cfg: SegHieroConfig, axis_name: Optional[str] = None):
+    """2- vs 3-level loss dispatch on the presence of a super level
+    (mirrors train.py:176-233)."""
+    h = cfg.hierarchy
+    t = cfg.training
+    if h.has_super:
+        return RMIHieraTripletLoss(
+            hierarchy=h,
+            rmi_radius=t.rmi_radius,
+            rmi_pool_way=t.rmi_pool_way,
+            rmi_pool_size=t.rmi_pool_size,
+            rmi_pool_stride=t.rmi_pool_stride,
+            loss_weight_lambda=t.fine_weight,
+            loss_weight=1.0,
+            axis_name=axis_name,
+        )
+    return HieraTripletLoss(hierarchy=h, loss_weight=t.fine_weight, axis_name=axis_name)
+
+
+def _forward_losses(
+    model: HieroSegmenter,
+    composite,
+    cfg: SegHieroConfig,
+    variables: Dict,
+    batch: Dict,
+    sched_step: jax.Array,
+    train: bool,
+):
+    """Shared forward + loss assembly (train.py:266-315 for train,
+    :341-378 for val — identical math)."""
+    images = normalize_images(
+        batch["image"], cfg.transform.normalize_mean, cfg.transform.normalize_std
+    )
+    fine = batch["fine"]
+    H, W = fine.shape[1:3]
+    n_fine = cfg.hierarchy.n_fine
+
+    if train:
+        out, mutated = model.apply(
+            variables, images, train=True, mutable=["batch_stats"]
+        )
+        new_batch_stats = mutated["batch_stats"]
+    else:
+        out = model.apply(variables, images, train=False)
+        new_batch_stats = variables.get("batch_stats")
+
+    logits = out["logits"]  # [B, H/4, W/4, C] f32
+    logits_before = resize_bilinear(logits, half_size(logits.shape[1:3]))  # 1/8
+    logits_full = resize_bilinear(logits, (H, W))
+
+    main_loss = composite(
+        sched_step, out["embedding"], logits_before[..., :n_fine], logits_full, fine
+    )
+    aux_up = resize_bilinear(out["aux_logits"], (H, W))
+    aux_loss = softmax_cross_entropy(aux_up, fine, divide_by="valid")
+    loss = main_loss + cfg.training.aux_weight * aux_loss
+    return loss, main_loss, aux_loss, logits_full, new_batch_stats
+
+
+def make_train_step(
+    model: HieroSegmenter, composite, cfg: SegHieroConfig, tx
+) -> Callable:
+    unit = cfg.training.triplet_schedule_unit
+
+    def train_step(state: TrainState, batch: Dict, epoch: jax.Array):
+        sched_step = state.step if unit == "step" else epoch
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            loss, main, aux, _, new_bs = _forward_losses(
+                model, composite, cfg, variables, batch, sched_step, train=True
+            )
+            return loss, (main, aux, new_bs)
+
+        (loss, (main, aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: (p + u).astype(p.dtype), state.params, updates
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+        )
+        metrics = {"loss": loss, "main_loss": main, "aux_loss": aux}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: HieroSegmenter, composite, cfg: SegHieroConfig) -> Callable:
+    h = cfg.hierarchy
+
+    def eval_step(state: TrainState, batch: Dict):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        loss, main, aux, logits_full, _ = _forward_losses(
+            model, composite, cfg, variables, batch, state.step, train=False
+        )
+        stats = {}
+        level_labels = {"fine": batch["fine"], "coarse": batch.get("coarse")}
+        if h.has_super:
+            level_labels["super"] = batch.get("super")
+        for (lvl, (lo, hi)) in zip(level_labels, h.level_slices):
+            labels = level_labels[lvl]
+            pred = jnp.argmax(logits_full[..., lo:hi], axis=-1)
+            correct, valid = pixel_accuracy_counts(pred, labels, h.ignore_index)
+            cm = confusion_matrix(pred, labels, hi - lo, h.ignore_index)
+            stats[lvl] = {"correct": correct, "valid": valid, "cm": cm}
+        return {"loss": loss, "levels": stats}
+
+    return eval_step
+
+
+@dataclasses.dataclass
+class Trainer:
+    """End-to-end training orchestration (reference train.py:main)."""
+
+    cfg: SegHieroConfig
+    mesh: Any = None
+    verbose: bool = True
+    resume: bool = False
+
+    def __post_init__(self):
+        cfg = self.cfg
+        if self.mesh is None:
+            spec = dict(cfg.training.mesh)
+            if spec.get("data", -1) == -1:
+                # default: as many data shards as divide the batch evenly
+                import math
+
+                avail = len(jax.devices()) // max(spec.get("model", 1), 1)
+                d = math.gcd(cfg.training.batch_size, avail)
+                if d < avail:
+                    print(
+                        f"→ batch_size {cfg.training.batch_size} not divisible by "
+                        f"{avail} devices; using data axis of {d}"
+                    )
+                spec["data"] = d
+            self.mesh = make_mesh(spec)
+        self.model = build_model(cfg)
+        self.composite = make_composite_loss(cfg)
+        self.tx = make_optimizer(cfg.training)
+
+        self.train_ds = build_dataset(cfg, "train", seed=cfg.training.seed)
+        self.val_ds = build_dataset(cfg, "val", seed=cfg.training.seed)
+        bsh = batch_sharding(self.mesh)
+        self.train_loader = BatchLoader(
+            self.train_ds,
+            cfg.training.batch_size,
+            shuffle=True,
+            drop_last=True,
+            seed=cfg.training.seed,
+            sharding=bsh,
+        )
+        self.val_loader = BatchLoader(
+            self.val_ds,
+            cfg.training.batch_size,
+            shuffle=False,
+            drop_last=False,
+            sharding=bsh,
+        )
+
+        self.state = self._init_state()
+        self.start_epoch = 0
+        self.best_val_loss = float("inf")
+        self.ckpt = CheckpointManager(
+            cfg.output.checkpoint_dir, cfg.output.project_name
+        )
+        if self.resume:
+            restored = self.ckpt.restore_latest(self.state)
+            if restored is not None:
+                self.state, meta = restored
+                self.start_epoch = int(meta.get("epoch", 0))
+                self.best_val_loss = float(meta.get("best_val_loss", float("inf")))
+                if self.verbose:
+                    print(
+                        f"→ Resumed from epoch {self.start_epoch} "
+                        f"(step {int(self.state.step)})"
+                    )
+
+        rep = replicated_sharding(self.mesh)
+        bshard = batch_sharding(self.mesh)
+        self._train_step = jax.jit(
+            make_train_step(self.model, self.composite, self.cfg, self.tx),
+            in_shardings=(rep, bshard, None),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            make_eval_step(self.model, self.composite, self.cfg),
+            in_shardings=(rep, bshard),
+            out_shardings=rep,
+        )
+
+    # ------------------------------------------------------------------
+    def _init_state(self) -> TrainState:
+        cfg = self.cfg
+        hw = cfg.transform.resize or (64, 64)
+        sample = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
+        variables = self.model.init(
+            jax.random.key(cfg.training.seed), sample, train=False
+        )
+        params, batch_stats = self._maybe_load_pretrained(
+            variables["params"], variables["batch_stats"]
+        )
+        opt_state = self.tx.init(params)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def _maybe_load_pretrained(self, params, batch_stats):
+        """Load converted torchvision backbone weights when
+        ``model.pretrained`` is a path (train.py:155 loads ImageNet
+        weights; there is no weight-download path in this environment)."""
+        pre = self.cfg.model.pretrained
+        if isinstance(pre, str):
+            from seghiero_tpu.models.torch_convert import (
+                import_torchvision_backbone,
+                load_torch_file,
+            )
+
+            sd = load_torch_file(pre)
+            sd = sd.get("state_dict", sd)
+            bp, bs = import_torchvision_backbone(sd, self.cfg.model.depth)
+            params = dict(params)
+            batch_stats = dict(batch_stats)
+            params["backbone"] = jax.tree_util.tree_map(jnp.asarray, bp)
+            batch_stats["backbone"] = jax.tree_util.tree_map(jnp.asarray, bs)
+            if self.verbose:
+                print(f"→ Loaded pretrained backbone from {pre}")
+        elif pre is True and self.verbose:
+            print(
+                "→ model.pretrained=true but no weight file given; this "
+                "environment has no network — using random init. Pass a "
+                "torchvision .pth path to model.pretrained to convert."
+            )
+        return params, batch_stats
+
+    # ------------------------------------------------------------------
+    def fit(self) -> list:
+        cfg = self.cfg
+        history = []
+        logger = MetricsLogger(cfg.output.metrics_jsonl)
+        n_train = len(self.train_loader)
+        with maybe_profile(cfg.output.profile_dir):
+            for epoch in range(self.start_epoch, cfg.training.epochs):
+                timer = StepTimer()
+                self.train_loader.set_epoch(epoch)
+                running = 0.0
+                t0 = time.perf_counter()
+                for i, batch in enumerate(self.train_loader):
+                    self.state, m = self._train_step(
+                        self.state, batch, jnp.asarray(epoch)
+                    )
+                    timer.tick(cfg.training.batch_size)
+                    if (i + 1) % cfg.training.log_every == 0 or i + 1 == n_train:
+                        running = float(m["loss"])  # one sync per log interval
+                        if self.verbose:
+                            ips = timer.images_per_sec
+                            print(
+                                f"epoch {epoch + 1} step {i + 1}/{n_train} "
+                                f"loss {running:.4f}"
+                                + (f" ({ips:.1f} img/s)" if ips else "")
+                            )
+                train_time = time.perf_counter() - t0
+
+                val = self.evaluate()
+                record = {
+                    "epoch": epoch + 1,
+                    "train_loss": running,
+                    "val_loss": val["loss"],
+                    "val_acc": val["fine_acc"],
+                    "val_fine_miou": val["fine_miou"],
+                    "val_coarse_miou": val.get("coarse_miou"),
+                    "train_images_per_sec": timer.images_per_sec,
+                    "train_seconds": train_time,
+                }
+                history.append(record)
+                logger.log(record)
+                if self.verbose:
+                    rows = [
+                        ["Epoch", "Avg Train Loss", "Avg Val Loss", "Val Pixel Acc",
+                         "Val fine mIoU"],
+                        [
+                            epoch + 1,
+                            f"{running:.4f}",
+                            f"{val['loss']:.4f}",
+                            f"{val['fine_acc'] * 100:.2f}%",
+                            f"{val['fine_miou'] * 100:.2f}%",
+                        ],
+                    ]
+                    print(ascii_table(rows))
+
+                is_best = val["loss"] < self.best_val_loss
+                if is_best:
+                    self.best_val_loss = val["loss"]
+                self.ckpt.save(
+                    self.state,
+                    epoch=epoch + 1,
+                    metrics=record,
+                    best_val_loss=self.best_val_loss,
+                    config_raw=cfg.raw,
+                    is_best=is_best,
+                )
+                if is_best and self.verbose:
+                    print(f"→ Saved new best model (val_loss {val['loss']:.4f})\n")
+        return history
+
+    def evaluate(self) -> Dict[str, float]:
+        h = self.cfg.hierarchy
+        levels = {"fine": h.n_fine, "coarse": h.n_coarse}
+        if h.has_super:
+            levels["super"] = h.n_super
+        acc = SegMetrics(levels)
+        for batch in self.val_loader:
+            out = self._eval_step(self.state, batch)
+            acc.update(float(out["loss"]), jax.device_get(out["levels"]))
+        return acc.summary()

@@ -1,0 +1,105 @@
+"""CLI + file-backed dataset integration: train then infer, through the
+same flags the reference exposes."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+from seghiero_tpu.cli import infer_main, train_main
+
+
+@pytest.fixture
+def file_dataset(tmp_path, classes_2level):
+    """Tiny on-disk dataset + YAML config in the reference schema."""
+    rng = np.random.default_rng(0)
+    root = tmp_path / "data"
+    for split in ("train", "val"):
+        (root / split / "img").mkdir(parents=True)
+        (root / split / "msk").mkdir(parents=True)
+        for i in range(4):
+            img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+            mask = rng.integers(0, 9, (40, 40)).astype(np.uint8)
+            mask[:3, :3] = 255  # ignore region (reference would crash here)
+            name = f"s{i}.png"
+            Image.fromarray(img).save(root / split / "img" / name)
+            Image.fromarray(mask).save(root / split / "msk" / name)
+    # one unmatched file that must be dropped by the intersect
+    Image.fromarray(np.zeros((40, 40, 3), np.uint8)).save(
+        root / "train" / "img" / "orphan.png"
+    )
+
+    cfg = {
+        "dataset": {
+            "root": str(root),
+            "train": {"image_subdir": "/train/img", "mask_subdir": "/train/msk"},
+            "val": {"image_subdir": "/val/img", "mask_subdir": "/val/msk"},
+        },
+        "classes": classes_2level,
+        "model": {
+            "depth": 18,
+            "dtype": "float32",
+            "aspp_channels": 32,
+            "c1_channels": 8,
+            "proj_dim": 16,
+            "dilations": [1, 2, 3, 4],
+        },
+        "training": {
+            "epochs": 1,
+            "batch_size": 2,
+            "lr": 0.005,
+            "device": "cuda",  # reference-style key: accepted & ignored
+            "gpus": [0],
+        },
+        "transform": {"resize": [32, 32], "hflip_prob": 0.5},
+        "output": {"checkpoint_dir": str(tmp_path / "ckpt"), "project_name": "cli"},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    return cfg_path, root
+
+
+def test_train_then_infer_cli(file_dataset, tmp_path, capsys):
+    cfg_path, root = file_dataset
+
+    assert train_main(["--config", str(cfg_path), "--quiet"]) == 0
+    out = capsys.readouterr().out
+    assert "Number of train samples: 4" in out  # orphan dropped by intersect
+    assert "Training complete." in out
+    ckpt_root = tmp_path / "ckpt" / "cli"
+    assert (ckpt_root / "best.json").exists()
+
+    img = str(root / "val" / "img" / "s0.png")
+    out_dir = tmp_path / "preds"
+    assert (
+        infer_main(
+            [
+                "--config",
+                str(cfg_path),
+                "--image",
+                img,
+                "--output-dir",
+                str(out_dir),
+                "--device",
+                "cpu",
+            ]
+        )
+        == 0
+    )
+    for suffix in ("fine", "coarse", "fine_color", "coarse_color"):
+        assert (out_dir / f"s0_{suffix}.png").exists(), suffix
+    # masks are at the ORIGINAL image size (40×40), not the resize size
+    fine = np.asarray(Image.open(out_dir / "s0_fine.png"))
+    assert fine.shape == (40, 40)
+    assert fine.max() < 9
+
+
+def test_resume_cli(file_dataset, capsys):
+    cfg_path, _ = file_dataset
+    train_main(["--config", str(cfg_path), "--quiet"])
+    capsys.readouterr()
+    train_main(["--config", str(cfg_path), "--resume"])
+    out = capsys.readouterr().out
+    assert "Resumed from epoch 1" in out
