@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Default (headline) benchmark: train-step throughput, ResNet-50 backbone +
+sep-ASPP contrast head + 2-level HieraTripletLoss at 512×512 on one chip
+— the primary metric of BASELINE.json. `vs_baseline` divides by the
+assumed A100 PyTorch reference of 40 img/s/chip
+(docs/BASELINE_ASSUMPTIONS.md).
+
+Other BASELINE.json configs:
+  --config 1   r18 2-level 256², batch 2 (CPU-runnable)
+  --config 2   r50 2-level 512² (headline, default)
+  --config 3   r50 3-level+RMI 512²
+  --config 4   r101 3-level 769², data-parallel over all devices
+  --config 5   r101 3-level 1024² batched INFERENCE throughput
+
+The timed loop reuses one device-resident synthetic batch: the metric is
+train-step compute throughput per chip (input pipeline excluded).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+A100_REF_IMG_S = 40.0  # docs/BASELINE_ASSUMPTIONS.md
+
+CLASSES_2L = {
+    "coarse_to_fine_map": [[0, 3], [4, 6], [7], [8]],
+    "coarse_names": {0: "a", 1: "b", 2: "c", 3: "d"},
+    "fine_names": {i: f"f{i}" for i in range(9)},
+}
+CLASSES_3L = dict(
+    CLASSES_2L,
+    super_coarse_to_coarse_map=[[0, 2], [3]],
+    super_coarse_names={0: "x", 1: "y"},
+)
+
+BENCH_CONFIGS = {
+    1: dict(depth=18, hw=256, batch=2, levels=2, mode="train"),
+    2: dict(depth=50, hw=512, batch=8, levels=2, mode="train"),
+    3: dict(depth=50, hw=512, batch=4, levels=3, mode="train"),
+    4: dict(depth=101, hw=769, batch=2, levels=3, mode="train", all_devices=True),
+    5: dict(depth=101, hw=1024, batch=4, levels=3, mode="infer", all_devices=True),
+}
+
+
+def build(cfg_id: int, steps: int, dtype: str):
+    import jax
+    import jax.numpy as jnp
+
+    from seghiero_tpu.config import SegHieroConfig
+    from seghiero_tpu.train.trainer import Trainer
+
+    spec = BENCH_CONFIGS[cfg_id]
+    n_dev = len(jax.devices()) if spec.get("all_devices") else 1
+    batch = spec["batch"] * n_dev
+    classes = CLASSES_3L if spec["levels"] == 3 else CLASSES_2L
+    cfg = SegHieroConfig.from_dict(
+        {
+            "dataset": {"kind": "synthetic", "synthetic_size": batch},
+            "classes": classes,
+            "model": {"depth": spec["depth"], "dtype": dtype},
+            "training": {
+                "epochs": 1,
+                "batch_size": batch,
+                "lr": 0.001,
+                "log_every": 10**9,
+                "mesh": {"data": n_dev},
+            },
+            "transform": {"resize": [spec["hw"], spec["hw"]], "hflip_prob": 0.5},
+            "output": {"checkpoint_dir": "/tmp/bench_ckpt", "project_name": "bench"},
+        }
+    )
+    trainer = Trainer(cfg, verbose=False)
+    batch_data = next(iter(trainer.train_loader))
+    return trainer, batch_data, spec, batch
+
+
+def run_train_bench(trainer, batch, steps: int):
+    import jax
+    import jax.numpy as jnp
+
+    state = trainer.state
+    epoch = jnp.asarray(0)
+    # warmup: compile + settle. NOTE: through the remote-TPU relay in
+    # this environment, block_until_ready does NOT barrier on remote
+    # execution — only a device_get (host materialization) does. The
+    # loss scalar transitively depends on the whole step chain, so
+    # fetching the final loss times all `steps` executions correctly.
+    print("# warmup (compile)...", file=sys.stderr, flush=True)
+    for i in range(3):
+        state, m = trainer._train_step(state, batch, epoch)
+        print(f"# warmup step {i}: loss={float(jax.device_get(m['loss'])):.4f}",
+              file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = trainer._train_step(state, batch, epoch)
+        if (i + 1) % 5 == 0:
+            print(f"# timed step {i + 1}/{steps}", file=sys.stderr, flush=True)
+    loss = float(jax.device_get(m["loss"]))
+    return time.perf_counter() - t0, loss
+
+
+def run_infer_bench(trainer, batch, steps: int):
+    import jax
+
+    from seghiero_tpu.infer.predictor import Predictor
+
+    cfg = trainer.cfg
+    variables = {
+        "params": trainer.state.params,
+        "batch_stats": trainer.state.batch_stats,
+    }
+    pred = Predictor(cfg, variables, mesh=trainer.mesh)
+    images = batch["image"]
+    out_hw = tuple(images.shape[1:3])
+    for _ in range(2):
+        preds, _ = pred._predict(variables, images, out_hw)
+    jax.device_get(preds["fine"][0, 0, 0])
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(steps):
+        preds, _ = pred._predict(variables, images, out_hw)
+        # chain an artificial dependency so steps cannot be elided
+        images = images + (preds["fine"][:, :1, :1, None] * 0).astype(images.dtype)
+    jax.device_get(preds["fine"][0, 0, 0])
+    return time.perf_counter() - t0, 0.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=int, default=2, choices=sorted(BENCH_CONFIGS))
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument(
+        "--dry-run", action="store_true", help="tiny shapes, CPU-safe smoke run"
+    )
+    p.add_argument("--all", action="store_true", help="run every config, report all")
+    args = p.parse_args()
+
+    if args.dry_run:
+        BENCH_CONFIGS[args.config] = dict(
+            BENCH_CONFIGS[args.config], hw=64, batch=2, all_devices=False
+        )
+        args.steps = min(args.steps, 3)
+        args.dtype = "float32"
+
+    import jax
+
+    cfg_ids = sorted(BENCH_CONFIGS) if args.all else [args.config]
+    results = {}
+    for cid in cfg_ids:
+        trainer, batch, spec, global_batch = build(cid, args.steps, args.dtype)
+        n_chips = trainer.mesh.devices.size
+        if spec["mode"] == "train":
+            dt, loss = run_train_bench(trainer, batch, args.steps)
+        else:
+            dt, loss = run_infer_bench(trainer, batch, args.steps)
+        img_s = global_batch * args.steps / dt
+        results[cid] = dict(
+            images_per_sec=img_s,
+            images_per_sec_per_chip=img_s / n_chips,
+            seconds_per_step=dt / args.steps,
+            chips=n_chips,
+            batch=global_batch,
+            spec=spec,
+            final_loss=loss,
+        )
+        print(
+            f"# config {cid}: {img_s:.2f} img/s total, "
+            f"{img_s / n_chips:.2f} img/s/chip, {dt / args.steps * 1e3:.1f} ms/step",
+            file=sys.stderr,
+        )
+
+    headline = results.get(2) or results[cfg_ids[0]]
+    value = headline["images_per_sec_per_chip"]
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip_r50_2level_512",
+                "value": round(value, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(value / A100_REF_IMG_S, 3),
+                "details": {str(k): {kk: vv for kk, vv in v.items() if kk != "spec"}
+                            for k, v in results.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -155,6 +155,11 @@ class TrainingConfig:
     seed: int = 0
     log_every: int = 50
     mesh: Dict[str, int] = dataclasses.field(default_factory=lambda: {"data": -1})
+    # "pjit": global-batch semantics (sync-BN, global triplet gate).
+    # "ddp":  per-replica semantics matching the reference's DDP spec —
+    #         local BN batches, triplet gate = every replica has
+    #         triplets (pmin collective), grads pmean'd.
+    parallel_mode: str = "pjit"
     # accepted-and-ignored reference keys, kept for round-tripping
     device: Optional[str] = None
     gpus: Optional[Sequence[int]] = None
@@ -172,6 +177,8 @@ class TrainingConfig:
             raise ValueError("rmi_pool_size must equal rmi_pool_stride")
         if out.triplet_schedule_unit not in ("step", "epoch"):
             raise ValueError("triplet_schedule_unit must be 'step' or 'epoch'")
+        if out.parallel_mode not in ("pjit", "ddp"):
+            raise ValueError("parallel_mode must be 'pjit' or 'ddp'")
         return out
 
 

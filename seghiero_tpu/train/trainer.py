@@ -38,7 +38,12 @@ from seghiero_tpu.losses import HieraTripletLoss, RMIHieraTripletLoss
 from seghiero_tpu.losses.cross_entropy import softmax_cross_entropy
 from seghiero_tpu.models.segmenter import HieroSegmenter, build_model
 from seghiero_tpu.ops.resize import half_size, resize_bilinear
-from seghiero_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from seghiero_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+)
 from seghiero_tpu.train.checkpoint import CheckpointManager
 from seghiero_tpu.train.metrics import (
     SegMetrics,
@@ -151,6 +156,67 @@ def make_train_step(
     return train_step
 
 
+def make_train_step_ddp(
+    model: HieroSegmenter, composite, cfg: SegHieroConfig, tx, mesh
+) -> Callable:
+    """DDP-semantics training step via shard_map over the 'data' axis.
+
+    This is the faithful TPU translation of the reference's (dead) DDP
+    spec: each replica computes the loss on its local shard — BatchNorm
+    statistics are LOCAL to the replica (reference per-device BN), the
+    triplet term activates only when EVERY replica found triplet classes
+    (the all_gather gate at hiera_triplet_loss.py:193-200, here a
+    ``pmin`` riding ICI), and gradients are pmean'd before the update so
+    replicas stay bitwise in lock-step. ``composite`` must carry
+    ``axis_name=DATA_AXIS``.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    unit = cfg.training.triplet_schedule_unit
+
+    def per_replica(state: TrainState, batch: Dict, epoch: jax.Array):
+        sched_step = state.step if unit == "step" else epoch
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            loss, main, aux, _, new_bs = _forward_losses(
+                model, composite, cfg, variables, batch, sched_step, train=True
+            )
+            return loss, (main, aux, new_bs)
+
+        (loss, (main, aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        # running BN stats averaged so the replicated state stays identical
+        new_bs = jax.lax.pmean(new_bs, DATA_AXIS)
+        metrics = {
+            "loss": jax.lax.pmean(loss, DATA_AXIS),
+            "main_loss": jax.lax.pmean(main, DATA_AXIS),
+            "aux_loss": jax.lax.pmean(aux, DATA_AXIS),
+        }
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: (p + u).astype(p.dtype), state.params, updates
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return shard_map(
+        per_replica,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )  # check_vma off: pmean'd outputs are replicated by construction
+
+
 def make_eval_step(model: HieroSegmenter, composite, cfg: SegHieroConfig) -> Callable:
     h = cfg.hierarchy
 
@@ -243,12 +309,23 @@ class Trainer:
 
         rep = replicated_sharding(self.mesh)
         bshard = batch_sharding(self.mesh)
-        self._train_step = jax.jit(
-            make_train_step(self.model, self.composite, self.cfg, self.tx),
-            in_shardings=(rep, bshard, None),
-            out_shardings=(rep, rep),
-            donate_argnums=(0,),
-        )
+        if cfg.training.parallel_mode == "ddp" and self.mesh.shape[DATA_AXIS] >= 1:
+            ddp_composite = make_composite_loss(cfg, axis_name=DATA_AXIS)
+            self._train_step = jax.jit(
+                make_train_step_ddp(
+                    self.model, ddp_composite, self.cfg, self.tx, self.mesh
+                ),
+                in_shardings=(rep, bshard, None),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+        else:
+            self._train_step = jax.jit(
+                make_train_step(self.model, self.composite, self.cfg, self.tx),
+                in_shardings=(rep, bshard, None),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
         self._eval_step = jax.jit(
             make_eval_step(self.model, self.composite, self.cfg),
             in_shardings=(rep, bshard),
@@ -258,9 +335,10 @@ class Trainer:
     # ------------------------------------------------------------------
     def _init_state(self) -> TrainState:
         cfg = self.cfg
-        hw = cfg.transform.resize or (64, 64)
-        sample = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
-        variables = self.model.init(
+        # parameter shapes are spatial-size independent — init on a tiny
+        # dummy so we never compile the full-resolution graph just for init
+        sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.jit(self.model.init, static_argnames=("train",))(
             jax.random.key(cfg.training.seed), sample, train=False
         )
         params, batch_stats = self._maybe_load_pretrained(
