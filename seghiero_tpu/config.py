@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple  # noqa: F401
 
 import yaml
 
@@ -160,6 +160,12 @@ class TrainingConfig:
     #         local BN batches, triplet gate = every replica has
     #         triplets (pmin collective), grads pmean'd.
     parallel_mode: str = "pjit"
+    # extension: {"type": "poly"|"cosine"|"constant", "power": 0.9,
+    # "warmup_steps": 0, "end_lr": 0.0}; reference lr is constant
+    lr_schedule: Optional[Dict[str, Any]] = None
+    # donate the train state's buffers to the step (saves one params+opt
+    # HBM copy per step; verified safe on CPU and TPU)
+    donate_state: bool = True
     # accepted-and-ignored reference keys, kept for round-tripping
     device: Optional[str] = None
     gpus: Optional[Sequence[int]] = None

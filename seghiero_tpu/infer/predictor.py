@@ -42,13 +42,19 @@ def preprocess_image(path: str, resize: Optional[Tuple[int, int]]):
 
 @dataclasses.dataclass
 class Predictor:
+    """``spatial_shards > 1`` shards the image HEIGHT across the mesh's
+    ``model`` axis (spatial parallelism for very large images); XLA's
+    partitioner inserts the conv halo exchanges — see
+    parallel/spatial.py."""
+
     cfg: SegHieroConfig
     variables: Dict
     mesh: object = None
+    spatial_shards: int = 1
 
     def __post_init__(self):
         if self.mesh is None:
-            self.mesh = make_mesh({"data": 1})
+            self.mesh = make_mesh({"data": 1, "model": self.spatial_shards})
         self.model = build_model(self.cfg)
         h = self.cfg.hierarchy
         slices = dict(zip(("fine", "coarse", "super"), h.level_slices))
@@ -92,7 +98,7 @@ class Predictor:
 
         # Orbax path: restore best (or the given step dir) into a template
         from seghiero_tpu.train.checkpoint import CheckpointManager
-        from seghiero_tpu.train.optim import make_optimizer
+        from seghiero_tpu.train.optim import make_optimizer, make_schedule
         from seghiero_tpu.train.trainer import TrainState
 
         model = build_model(cfg)
@@ -100,7 +106,9 @@ class Predictor:
         template_vars = model.init(
             jax.random.key(0), jnp.zeros((1, hw[0], hw[1], 3)), train=False
         )
-        tx = make_optimizer(cfg.training)
+        # schedule choice affects only opt-state STRUCTURE; total_steps=1
+        # keeps the restore template consistent with training configs
+        tx = make_optimizer(cfg.training, make_schedule(cfg.training, 1))
         template = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=template_vars["params"],
@@ -127,7 +135,13 @@ class Predictor:
         """Batched prediction. images_u8 [B, H, W, 3] → per-level int32
         masks [B, out_h, out_w] (out defaults to input size)."""
         out_hw = out_hw or images_u8.shape[1:3]
-        images = jax.device_put(images_u8, batch_sharding(self.mesh))
+        if self.spatial_shards > 1:
+            from seghiero_tpu.parallel.spatial import spatial_batch_sharding
+
+            in_sharding = spatial_batch_sharding(self.mesh)
+        else:
+            in_sharding = batch_sharding(self.mesh)
+        images = jax.device_put(images_u8, in_sharding)
         variables = jax.device_put(self.variables, replicated_sharding(self.mesh))
         preds, _ = self._predict(variables, images, tuple(out_hw))
         return {k: np.asarray(v) for k, v in preds.items()}

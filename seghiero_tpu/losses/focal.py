@@ -16,7 +16,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from seghiero_tpu.hierarchy import Hierarchy
-from seghiero_tpu.losses.hiera import _bucket_max, _one_hot_valid
+from seghiero_tpu.losses.hiera import (
+    _bucket_max,
+    _log_one_minus_sig_eps,
+    _log_sig_eps,
+    _one_hot_valid,
+)
 
 
 def hiera_focal_loss(
@@ -28,26 +33,30 @@ def hiera_focal_loss(
     eps: float = 1e-8,
 ) -> jax.Array:
     n_fine, n_coarse = hierarchy.n_fine, hierarchy.n_coarse
-    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-    mcma = probs[..., :n_fine]
-    mclb = probs[..., n_fine : n_fine + n_coarse]
-    mcmb = _bucket_max(mcma, hierarchy.fine_by_coarse, mclb)
-    mcla = jnp.minimum(mcma, mclb[..., np.asarray(hierarchy.fine_to_coarse)])
+    lg = logits.astype(jnp.float32)
+    la = lg[..., :n_fine]
+    lb = lg[..., n_fine : n_fine + n_coarse]
+    mcmb_l = _bucket_max(la, hierarchy.fine_by_coarse, lb)
+    mcla_l = jnp.minimum(la, lb[..., np.asarray(hierarchy.fine_to_coarse)])
 
     oh_f, valid_f = _one_hot_valid(targets_fine, n_fine, hierarchy.ignore_index)
     oh_c, valid_c = _one_hot_valid(targets_coarse, n_coarse, hierarchy.ignore_index)
 
-    def level(oh, pos, neg, valid, n):
+    def level(oh, pos_l, neg_l, valid, n):
         v = valid[..., None].astype(jnp.float32)
         nv = jnp.maximum(jnp.sum(v), 1.0)
+        # modulation factors from probabilities; logs via the stable
+        # logit-space identities (losses/hiera.py)
+        pos_p = jax.nn.sigmoid(pos_l)
+        neg_p = jax.nn.sigmoid(neg_l)
         return jnp.sum(
             (
-                -oh * (1.0 - pos) ** gamma * jnp.log(pos + eps)
-                - (1.0 - oh) * neg**gamma * jnp.log(1.0 - neg + eps)
+                -oh * (1.0 - pos_p) ** gamma * _log_sig_eps(pos_l, eps)
+                - (1.0 - oh) * neg_p**gamma * _log_one_minus_sig_eps(neg_l, eps)
             )
             * v
         ) / (nv * n)
 
-    return level(oh_f, mcla, mcma, valid_f, n_fine) + level(
-        oh_c, mclb, mcmb, valid_c, n_coarse
+    return level(oh_f, mcla_l, la, valid_f, n_fine) + level(
+        oh_c, lb, mcmb_l, valid_c, n_coarse
     )

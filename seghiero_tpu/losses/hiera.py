@@ -82,6 +82,25 @@ def _one_hot_valid(labels: jax.Array, n: int, ignore_index: int):
     return oh, ~void
 
 
+def _log_sig_eps(logit: jax.Array, eps: float) -> jax.Array:
+    """log(sigmoid(logit) + eps), computed stably in logit space.
+
+    Identity: log(a + eps) = logaddexp(log a, log eps) with
+    log sigmoid(x) = -softplus(-x). Bit-for-bit this matches the naive
+    form to float rounding, but its backward contains no 1/(p+eps)
+    divisions — the naive composition is vulnerable to XLA fusion
+    rewrites that emit inf·0 when sigmoid saturates to exactly 1.0f
+    (observed on both CPU and TPU backends: finite un-jitted gradients,
+    NaN jitted; see tests/test_losses_parity.py saturation tests).
+    """
+    return jnp.logaddexp(-jax.nn.softplus(-logit), jnp.log(eps))
+
+
+def _log_one_minus_sig_eps(logit: jax.Array, eps: float) -> jax.Array:
+    """log(1 - sigmoid(logit) + eps) via 1 - sigmoid(x) = sigmoid(-x)."""
+    return jnp.logaddexp(-jax.nn.softplus(logit), jnp.log(eps))
+
+
 def _bucket_max(probs_child: jax.Array, buckets, own: jax.Array) -> jax.Array:
     """Per-bucket max over static child-id sets, joined with the bucket's
     own channel. probs_child [..., n_child]; own [..., n_bucket]."""
@@ -108,14 +127,20 @@ def hiera_bce_two_level(
     MCLA[f] = min(fine score f, coarse score of f's bucket).
     BCE pulls up the min-path for positives and pushes down the max-path
     for negatives, each level normalized by (#valid px × #classes).
+
+    Computed in LOGIT space: sigmoid is monotone, so the min/max tree
+    algebra commutes with it, and the log terms use the stable
+    ``logaddexp``/``softplus`` identities (see ``_log_sig_eps``) —
+    numerically identical to sigmoiding first, but with a
+    fusion-rewrite-proof backward.
     """
     n_fine, n_coarse = hierarchy.n_fine, hierarchy.n_coarse
-    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-    mcma = probs[..., :n_fine]
-    mclb = probs[..., n_fine : n_fine + n_coarse]
+    lg = logits.astype(jnp.float32)
+    la = lg[..., :n_fine]
+    lb = lg[..., n_fine : n_fine + n_coarse]
 
-    mcmb = _bucket_max(mcma, hierarchy.fine_by_coarse, mclb)
-    mcla = jnp.minimum(mcma, mclb[..., np.asarray(hierarchy.fine_to_coarse)])
+    mcmb_l = _bucket_max(la, hierarchy.fine_by_coarse, lb)
+    mcla_l = jnp.minimum(la, lb[..., np.asarray(hierarchy.fine_to_coarse)])
 
     oh_f, valid_f = _one_hot_valid(targets_fine, n_fine, hierarchy.ignore_index)
     oh_c, valid_c = _one_hot_valid(targets_coarse, n_coarse, hierarchy.ignore_index)
@@ -125,10 +150,12 @@ def hiera_bce_two_level(
     nvc = jnp.maximum(jnp.sum(vc), 1.0)
 
     loss_fine = jnp.sum(
-        (-oh_f * jnp.log(mcla + eps) - (1.0 - oh_f) * jnp.log(1.0 - mcma + eps)) * vf
+        (-oh_f * _log_sig_eps(mcla_l, eps)
+         - (1.0 - oh_f) * _log_one_minus_sig_eps(la, eps)) * vf
     ) / (nvf * n_fine)
     loss_coarse = jnp.sum(
-        (-oh_c * jnp.log(mclb + eps) - (1.0 - oh_c) * jnp.log(1.0 - mcmb + eps)) * vc
+        (-oh_c * _log_sig_eps(lb, eps)
+         - (1.0 - oh_c) * _log_one_minus_sig_eps(mcmb_l, eps)) * vc
     ) / (nvc * n_coarse)
     return 5.0 * (loss_fine + loss_coarse)
 
@@ -150,37 +177,36 @@ def hiera_bce_three_level(
     ``fine_to_mid``/``fine_to_high`` at :379-442, identically static.
     """
     n_f, n_m, n_h = hierarchy.n_fine, hierarchy.n_coarse, hierarchy.n_super
-    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-    mcma = probs[..., :n_f]
-    mcmb = probs[..., n_f : n_f + n_m]
-    mcmc = probs[..., n_f + n_m : n_f + n_m + n_h]
-    mclb, mclc = mcmb, mcmc  # raw mid/high scores, min-path inputs (:413-415)
+    lg = logits.astype(jnp.float32)  # logit-space algebra, see 2-level note
+    la = lg[..., :n_f]
+    lb = lg[..., n_f : n_f + n_m]
+    lc = lg[..., n_f + n_m : n_f + n_m + n_h]
 
     # up the tree: fine→mid, then mid→high (:377-411)
-    mcmb_comb = _bucket_max(mcma, hierarchy.fine_by_coarse, mcmb)
-    mcmc_comb = _bucket_max(mcmb_comb, hierarchy.coarse_by_super, mcmc)
+    mcmb_comb = _bucket_max(la, hierarchy.fine_by_coarse, lb)
+    mcmc_comb = _bucket_max(mcmb_comb, hierarchy.coarse_by_super, lc)
 
     # down the tree: MCLA[f] = min(fine f, mid-of-f) (:417-425)
-    mcla = jnp.minimum(mcma, mclb[..., np.asarray(hierarchy.fine_to_coarse)])
+    mcla = jnp.minimum(la, lb[..., np.asarray(hierarchy.fine_to_coarse)])
     # MCLB_combined[m] = min(high-of-m, mid m) (:427-442; with the fixed
     # fine→high LUT each mid has exactly one high ancestor)
-    mclb_comb = jnp.minimum(mclb, mclc[..., np.asarray(hierarchy.coarse_to_super)])
+    mclb_comb = jnp.minimum(lb, lc[..., np.asarray(hierarchy.coarse_to_super)])
 
     oh_f, valid_f = _one_hot_valid(targets_fine, n_f, hierarchy.ignore_index)
     oh_m, valid_m = _one_hot_valid(targets_mid, n_m, hierarchy.ignore_index)
     oh_h, valid_h = _one_hot_valid(targets_high, n_h, hierarchy.ignore_index)
 
-    def level_loss(oh, pos, neg, valid, n):
+    def level_loss(oh, pos_l, neg_l, valid, n):
         v = valid[..., None].astype(jnp.float32)
         nv = jnp.maximum(jnp.sum(v), 1.0)
         return jnp.sum(
-            (-oh * jnp.log(pos + clip_min) - (1.0 - oh) * jnp.log(1.0 - neg + clip_min))
-            * v
+            (-oh * _log_sig_eps(pos_l, clip_min)
+             - (1.0 - oh) * _log_one_minus_sig_eps(neg_l, clip_min)) * v
         ) / (nv * n)
 
-    loss_f = level_loss(oh_f, mcla, mcma, valid_f, n_f)
+    loss_f = level_loss(oh_f, mcla, la, valid_f, n_f)
     loss_m = level_loss(oh_m, mclb_comb, mcmb_comb, valid_m, n_m)
-    loss_h = level_loss(oh_h, mclc, mcmc_comb, valid_h, n_h)  # :464-468
+    loss_h = level_loss(oh_h, lc, mcmc_comb, valid_h, n_h)  # :464-468
     return 5.0 * (loss_f + loss_m + loss_h)
 
 

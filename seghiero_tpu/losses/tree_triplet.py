@@ -119,6 +119,8 @@ def tree_triplet_loss_range(
             "range-variant triplet loss requires contiguous coarse buckets; "
             "use tree_triplet_loss_groups for general hierarchies"
         )
+    embedding = jnp.asarray(embedding)
+    labels = jnp.asarray(labels)
     B, h, w, D = embedding.shape
     lbl = downsample_labels_nearest(labels, (h, w)).reshape(-1)  # [N]
     feats = embedding.reshape(-1, D)
@@ -162,6 +164,8 @@ def tree_triplet_loss_groups(
     (rmi_tree_triplet_loss.py:28) — contribute nothing (the reference
     would crash on them; divergence documented in module docstring).
     """
+    embedding = jnp.asarray(embedding)
+    labels = jnp.asarray(labels)
     B, h, w, D = embedding.shape
     lbl = downsample_labels_nearest(labels, (h, w)).reshape(-1)
     feats = embedding.reshape(-1, D)

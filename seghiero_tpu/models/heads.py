@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from seghiero_tpu.models.resnet import batch_norm, conv
@@ -51,11 +52,15 @@ class ProjectionHead(nn.Module):
             y = conv(self.proj_dim, 1, dtype=self.dtype, name="fc2")(y)
         else:
             raise ValueError(f"Unknown proj type: {self.proj_type}")
-        # L2-normalize over channels in f32 (rsqrt of tiny sums is
-        # precision-sensitive); matches F.normalize(p=2, dim=1, eps=1e-12)
+        # L2-normalize over channels in f32. Grad-safe form: the naive
+        # y / max(||y||, eps) has a 1/||y|| factor in its VJP that blows
+        # up as embeddings shrink (observed NaN after ~18 train steps);
+        # rsqrt(sum(y²) + eps) bounds the gradient. Matches
+        # F.normalize(p=2, dim=1) to ~eps for healthy embeddings.
         y = y.astype(jnp.float32)
-        norm = jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
-        return y / norm
+        return y * jax.lax.rsqrt(
+            jnp.sum(jnp.square(y), axis=-1, keepdims=True) + 1e-12
+        )
 
 
 class DepthwiseSeparableConv(nn.Module):

@@ -208,3 +208,136 @@ def load_torch_file(path: str) -> Dict:
     import torch
 
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: our variables → reference-named torch state dicts
+# (lets a user switch BACK to the reference, or run its infer.py on a
+# model trained here).
+# ---------------------------------------------------------------------------
+
+
+def _t(a):
+    import torch
+
+    return torch.from_numpy(np.ascontiguousarray(np.asarray(a, np.float32)))
+
+
+def _conv_back(kernel) -> "object":
+    return _t(np.asarray(kernel).transpose(3, 2, 0, 1))
+
+
+def _bn_back(sd: Dict, prefix: str, params: Dict, stats: Dict):
+    sd[f"{prefix}.weight"] = _t(params["scale"])
+    sd[f"{prefix}.bias"] = _t(params["bias"])
+    sd[f"{prefix}.running_mean"] = _t(stats["mean"])
+    sd[f"{prefix}.running_var"] = _t(stats["var"])
+    import torch
+
+    sd[f"{prefix}.num_batches_tracked"] = torch.zeros((), dtype=torch.long)
+
+
+def export_reference_backbone(params: Dict, stats: Dict, depth: int) -> Dict:
+    """Our backbone variables → the reference wrapper's state_dict naming
+    (stem_conv/stem_bn/layerN..., resnet.py:45-54)."""
+    from seghiero_tpu.models.resnet import BOTTLENECK_DEPTHS, STAGE_BLOCKS
+
+    sd: Dict = {"stem_conv.weight": _conv_back(params["stem_conv"]["kernel"])}
+    _bn_back(sd, "stem_bn", params["stem_bn"], stats["stem_bn"])
+    n_convs = 3 if depth in BOTTLENECK_DEPTHS else 2
+    for stage, n_blocks in enumerate(STAGE_BLOCKS[depth], start=1):
+        for b in range(n_blocks):
+            src = f"layer{stage}_{b}"
+            dst = f"layer{stage}.{b}"
+            for ci in range(1, n_convs + 1):
+                sd[f"{dst}.conv{ci}.weight"] = _conv_back(
+                    params[src][f"conv{ci}"]["kernel"]
+                )
+                _bn_back(sd, f"{dst}.bn{ci}", params[src][f"bn{ci}"], stats[src][f"bn{ci}"])
+            if "down_conv" in params[src]:
+                sd[f"{dst}.downsample.0.weight"] = _conv_back(
+                    params[src]["down_conv"]["kernel"]
+                )
+                _bn_back(
+                    sd, f"{dst}.downsample.1", params[src]["down_bn"], stats[src]["down_bn"]
+                )
+    return sd
+
+
+def _export_sepconv(sd: Dict, dst: str, params: Dict, stats: Dict):
+    kernel = np.asarray(params["depthwise"]["kernel"])  # [k,k,1,C]
+    sd[f"{dst}.depthwise.weight"] = _t(kernel.transpose(3, 2, 0, 1))
+    _bn_back(sd, f"{dst}.bn_dw", params["bn_dw"], stats["bn_dw"])
+    sd[f"{dst}.pointwise.weight"] = _conv_back(params["pointwise"]["kernel"])
+    _bn_back(sd, f"{dst}.bn_pw", params["bn_pw"], stats["bn_pw"])
+
+
+def export_reference_head(params: Dict, stats: Dict, proj_type: str = "convmlp") -> Dict:
+    """Our head variables → reference DepthwiseSeparableASPPContrastHead
+    state_dict (incl. a zero ``step`` buffer, which it registers)."""
+    import torch
+
+    sd: Dict = {"step": torch.zeros(1, dtype=torch.long)}
+    if proj_type == "convmlp":
+        sd["proj_head.proj.0.weight"] = _conv_back(params["proj_head"]["fc1"]["kernel"])
+        _bn_back(sd, "proj_head.proj.1", params["proj_head"]["bn"], stats["proj_head"]["bn"])
+        sd["proj_head.proj.3.weight"] = _conv_back(params["proj_head"]["fc2"]["kernel"])
+    else:
+        sd["proj_head.proj.weight"] = _conv_back(params["proj_head"]["proj"]["kernel"])
+
+    sd["aspp.branches.0.0.weight"] = _conv_back(params["aspp"]["branch0_conv"]["kernel"])
+    _bn_back(sd, "aspp.branches.0.1", params["aspp"]["branch0_bn"], stats["aspp"]["branch0_bn"])
+    i = 1
+    while f"branch{i}" in params["aspp"]:
+        _export_sepconv(
+            sd, f"aspp.branches.{i}.0", params["aspp"][f"branch{i}"], stats["aspp"][f"branch{i}"]
+        )
+        i += 1
+    sd["aspp.image_pool_conv.0.weight"] = _conv_back(
+        params["aspp"]["image_pool_conv"]["kernel"]
+    )
+    _bn_back(
+        sd, "aspp.image_pool_conv.1", params["aspp"]["image_pool_bn"], stats["aspp"]["image_pool_bn"]
+    )
+    sd["bottleneck.0.weight"] = _conv_back(params["bottleneck_conv"]["kernel"])
+    _bn_back(sd, "bottleneck.1", params["bottleneck_bn"], stats["bottleneck_bn"])
+    if "c1_conv" in params:
+        sd["c1_bottleneck.0.weight"] = _conv_back(params["c1_conv"]["kernel"])
+        _bn_back(sd, "c1_bottleneck.1", params["c1_bn"], stats["c1_bn"])
+    for j in range(2):
+        _export_sepconv(
+            sd, f"sep_bottleneck.{j}", params[f"sep_bottleneck{j}"], stats[f"sep_bottleneck{j}"]
+        )
+    sd["cls_seg.weight"] = _conv_back(params["cls_seg"]["kernel"])
+    sd["cls_seg.bias"] = _t(params["cls_seg"]["bias"])
+    return sd
+
+
+def export_reference_aux_head(params: Dict, stats: Dict) -> Dict:
+    sd: Dict = {"0.weight": _conv_back(params["conv"]["kernel"])}
+    _bn_back(sd, "1", params["bn"], stats["bn"])
+    return sd
+
+
+def export_reference_checkpoint(
+    variables: Dict, depth: int, proj_type: str = "convmlp", epoch: int = 0, config=None
+) -> Dict:
+    """Full reverse of ``import_reference_checkpoint``: a dict with the
+    reference's checkpoint keys (train.py:421-428) loadable by its
+    infer.py (backbone + aspp_head)."""
+    params, stats = variables["params"], variables["batch_stats"]
+    out = {
+        "epoch": epoch,
+        "backbone_state_dict": export_reference_backbone(
+            params["backbone"], stats["backbone"], depth
+        ),
+        "aspp_head_state_dict": export_reference_head(
+            params["head"], stats["head"], proj_type
+        ),
+        "config": config or {},
+    }
+    if "aux_head" in params:
+        out["aux_head_state_dict"] = export_reference_aux_head(
+            params["aux_head"], stats["aux_head"]
+        )
+    return out

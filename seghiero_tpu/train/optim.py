@@ -17,6 +17,37 @@ import optax
 from seghiero_tpu.config import TrainingConfig
 
 
+def make_schedule(cfg: TrainingConfig, total_steps: int):
+    """Optional lr schedule from ``training.lr_schedule`` (extension —
+    the reference trains at a fixed lr, train.py:243). "poly" with
+    power 0.9 is the de-facto standard for semantic segmentation."""
+    s = cfg.lr_schedule
+    if not s:
+        return None
+    kind = s.get("type", "poly")
+    warmup = int(s.get("warmup_steps", 0))
+    end_lr = float(s.get("end_lr", 0.0))
+    decay_steps = max(total_steps - warmup, 1)
+    if kind == "poly":
+        main = optax.polynomial_schedule(
+            init_value=cfg.lr,
+            end_value=end_lr,
+            power=float(s.get("power", 0.9)),
+            transition_steps=decay_steps,
+        )
+    elif kind == "cosine":
+        main = optax.cosine_decay_schedule(cfg.lr, decay_steps, alpha=end_lr / cfg.lr)
+    elif kind == "constant":
+        main = optax.constant_schedule(cfg.lr)
+    else:
+        raise ValueError(f"unknown lr_schedule type {kind!r}")
+    if warmup:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.lr, warmup), main], [warmup]
+        )
+    return main
+
+
 def make_optimizer(
     cfg: TrainingConfig, schedule: Optional[optax.Schedule] = None
 ) -> optax.GradientTransformation:

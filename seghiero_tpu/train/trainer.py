@@ -50,7 +50,7 @@ from seghiero_tpu.train.metrics import (
     confusion_matrix,
     pixel_accuracy_counts,
 )
-from seghiero_tpu.train.optim import make_optimizer
+from seghiero_tpu.train.optim import make_optimizer, make_schedule
 from seghiero_tpu.utils.logging_util import MetricsLogger
 from seghiero_tpu.utils.profiling import StepTimer, maybe_profile
 from seghiero_tpu.utils.tables import ascii_table
@@ -268,7 +268,6 @@ class Trainer:
             self.mesh = make_mesh(spec)
         self.model = build_model(cfg)
         self.composite = make_composite_loss(cfg)
-        self.tx = make_optimizer(cfg.training)
 
         self.train_ds = build_dataset(cfg, "train", seed=cfg.training.seed)
         self.val_ds = build_dataset(cfg, "val", seed=cfg.training.seed)
@@ -289,6 +288,10 @@ class Trainer:
             sharding=bsh,
         )
 
+        total_steps = len(self.train_loader) * cfg.training.epochs
+        self.tx = make_optimizer(
+            cfg.training, make_schedule(cfg.training, total_steps)
+        )
         self.state = self._init_state()
         self.start_epoch = 0
         self.best_val_loss = float("inf")
@@ -309,6 +312,7 @@ class Trainer:
 
         rep = replicated_sharding(self.mesh)
         bshard = batch_sharding(self.mesh)
+        donate = (0,) if cfg.training.donate_state else ()
         if cfg.training.parallel_mode == "ddp" and self.mesh.shape[DATA_AXIS] >= 1:
             ddp_composite = make_composite_loss(cfg, axis_name=DATA_AXIS)
             self._train_step = jax.jit(
@@ -317,14 +321,14 @@ class Trainer:
                 ),
                 in_shardings=(rep, bshard, None),
                 out_shardings=(rep, rep),
-                donate_argnums=(0,),
+                donate_argnums=donate,
             )
         else:
             self._train_step = jax.jit(
                 make_train_step(self.model, self.composite, self.cfg, self.tx),
                 in_shardings=(rep, bshard, None),
                 out_shardings=(rep, rep),
-                donate_argnums=(0,),
+                donate_argnums=donate,
             )
         self._eval_step = jax.jit(
             make_eval_step(self.model, self.composite, self.cfg),
