@@ -166,6 +166,10 @@ class TrainingConfig:
     # donate the train state's buffers to the step (saves one params+opt
     # HBM copy per step; verified safe on CPU and TPU)
     donate_state: bool = True
+    # TPU fast path: compute the full-resolution loss algebra in C-major
+    # layout (losses/fast.py) — ~1.75× faster train step at 512px on v5e;
+    # numerically equivalent (tested) to the NHWC parity implementations
+    fast_losses: bool = True
     # accepted-and-ignored reference keys, kept for round-tripping
     device: Optional[str] = None
     gpus: Optional[Sequence[int]] = None

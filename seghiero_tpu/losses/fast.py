@@ -1,0 +1,260 @@
+"""TPU-optimized composite losses (C-major layout).
+
+The parity implementations in losses/hiera.py & losses/rmi.py follow the
+framework-wide NHWC convention. For the *loss* tensors that convention is
+hostile to TPU tiling: the minor-most (lane) dimension is the class axis
+(C ≈ 13-31), which the hardware pads to 128 lanes — every full-resolution
+f32 pass then moves ~10× the useful bytes. Measured on a v5e at 512²/b8,
+the composite loss cost 87 ms inside the train step; transposing once at
+LOW resolution (a [B, h/4, w/4, C] read) and doing the resize, hierarchy
+algebra, CE and one-hot-free gathers in [B, C, H, W] cuts the whole train
+step from ~153 ms to ~88 ms.
+
+Equivalence with the NHWC parity implementations is asserted in
+tests/test_fast_losses.py (same math, different layout/associativity:
+tolerances ~1e-5). The trainer uses this path by default
+(``training.fast_losses``); the NHWC modules remain the reference-parity
+oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seghiero_tpu.hierarchy import Hierarchy
+from seghiero_tpu.losses.hiera import (
+    _log_one_minus_sig_eps,
+    _log_sig_eps,
+    prepare_targets_three_level,
+    prepare_targets_two_level,
+)
+from seghiero_tpu.losses.rmi import _CLIP_MIN, _POS_ALPHA
+from seghiero_tpu.losses.tree_triplet import (
+    tree_triplet_loss_groups,
+    tree_triplet_loss_range,
+    triplet_readiness,
+    triplet_schedule_factor,
+)
+
+
+def _resize_cmajor(x: jax.Array, hw) -> jax.Array:
+    B, C = x.shape[:2]
+    return jax.image.resize(x, (B, C, hw[0], hw[1]), "linear", antialias=False)
+
+
+def _class_iota(n: int) -> jax.Array:
+    return jnp.arange(n)[None, :, None, None]
+
+
+def _masked_level_bce(pos_l, neg_l, targets, n, ignore_index, eps):
+    """Σ_valid(-oh·log σ(pos) − (1−oh)·log(1−σ(neg))) / (n_valid · n),
+    with the one-hot as a fused broadcast-compare on the C axis."""
+    valid = (targets != ignore_index)[:, None]  # [B,1,H,W]
+    safe = jnp.where(valid[:, 0], targets, 0)[:, None]  # [B,1,H,W]
+    oh = safe == _class_iota(n)  # [B,n,H,W] bool, fused
+    nv = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    term = jnp.where(oh, _log_sig_eps(pos_l, eps), _log_one_minus_sig_eps(neg_l, eps))
+    return jnp.sum(jnp.where(valid, -term, 0.0)) / (nv * n)
+
+
+def _ce_cmajor(logits, targets, ignore_index, divide_by="all"):
+    """Softmax CE on [B, C, H, W] logits; label pick via broadcast-compare
+    (full-res gathers are ~10× slower than compare-select on TPU)."""
+    n = logits.shape[1]
+    logp = jax.nn.log_softmax(logits, axis=1)
+    valid = targets != ignore_index
+    safe = jnp.where(valid, targets, 0)[:, None]
+    pick = jnp.sum(jnp.where(safe == _class_iota(n), logp, 0.0), axis=1)
+    total = jnp.sum(jnp.where(valid, -pick, 0.0))
+    if divide_by == "all":
+        return total / targets.size
+    return total / jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+
+
+def _bucket_max_cmajor(child_l, buckets, own_l):
+    cols = []
+    for i, ids in enumerate(buckets):
+        o = own_l[:, i]
+        if ids:
+            cols.append(jnp.maximum(jnp.max(child_l[:, list(ids)], axis=1), o))
+        else:
+            cols.append(o)
+    return jnp.stack(cols, axis=1)
+
+
+def hiera_bce_two_level_cmajor(lf, t_fine, t_coarse, h: Hierarchy, eps=1e-8):
+    """losses/hiera.py:hiera_bce_two_level in [B, C, H, W]."""
+    nf, nc = h.n_fine, h.n_coarse
+    la, lb = lf[:, :nf], lf[:, nf : nf + nc]
+    mcmb = _bucket_max_cmajor(la, h.fine_by_coarse, lb)
+    mcla = jnp.minimum(la, lb[:, np.asarray(h.fine_to_coarse)])
+    loss_f = _masked_level_bce(mcla, la, t_fine, nf, h.ignore_index, eps)
+    loss_c = _masked_level_bce(lb, mcmb, t_coarse, nc, h.ignore_index, eps)
+    return 5.0 * (loss_f + loss_c)
+
+
+def hiera_bce_three_level_cmajor(lf, t_f, t_m, t_h, h: Hierarchy, clip_min=_CLIP_MIN):
+    """losses/hiera.py:hiera_bce_three_level in [B, C, H, W]."""
+    nf, nm, nh = h.n_fine, h.n_coarse, h.n_super
+    la = lf[:, :nf]
+    lb = lf[:, nf : nf + nm]
+    lc = lf[:, nf + nm : nf + nm + nh]
+    mcmb_c = _bucket_max_cmajor(la, h.fine_by_coarse, lb)
+    mcmc_c = _bucket_max_cmajor(mcmb_c, h.coarse_by_super, lc)
+    mcla = jnp.minimum(la, lb[:, np.asarray(h.fine_to_coarse)])
+    mclb_c = jnp.minimum(lb, lc[:, np.asarray(h.coarse_to_super)])
+    loss_f = _masked_level_bce(mcla, la, t_f, nf, h.ignore_index, clip_min)
+    loss_m = _masked_level_bce(mclb_c, mcmb_c, t_m, nm, h.ignore_index, clip_min)
+    loss_h = _masked_level_bce(lc, mcmc_c, t_h, nh, h.ignore_index, clip_min)
+    return 5.0 * (loss_f + loss_m + loss_h)
+
+
+def rmi_lower_bound_cmajor(
+    oh_all, probs_masked, *, radius=3, use_float64=False
+):
+    """losses/rmi.py:rmi_lower_bound with [B, C, H, W] inputs (the
+    neighborhood-stack transpose is free in this layout)."""
+    compute_dtype = jnp.float64 if use_float64 else jnp.float32
+    half_d = radius * radius
+    B, C, H, W = probs_masked.shape
+    nh, nw = H - (radius - 1), W - (radius - 1)
+
+    def nbhd(x):
+        views = [
+            x[:, :, y : y + nh, xx : xx + nw]
+            for y in range(radius)
+            for xx in range(radius)
+        ]
+        return jnp.stack(views, axis=2).reshape(B, C, half_d, nh * nw)
+
+    la = jax.lax.stop_gradient(nbhd(oh_all).astype(compute_dtype))
+    pr = nbhd(probs_masked).astype(compute_dtype)
+    hi = jax.lax.Precision.HIGHEST
+    diag = jnp.eye(half_d, dtype=compute_dtype)
+    la_cov = jnp.einsum("bcin,bcjn->bcij", la, la, precision=hi)
+    pr_cov = jnp.einsum("bcin,bcjn->bcij", pr, pr, precision=hi)
+    la_pr = jnp.einsum("bcin,bcjn->bcij", la, pr, precision=hi)
+    pr_inv = jnp.linalg.inv(pr_cov + diag * _POS_ALPHA)
+    av = la_cov - jnp.einsum("bcij,bcjk,bclk->bcil", la_pr, pr_inv, la_pr, precision=hi)
+    av = 0.5 * (av + jnp.swapaxes(av, -1, -2))
+    chol = jnp.linalg.cholesky(av + diag * _POS_ALPHA)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1) + 1e-8), -1)
+    per_class = jnp.mean(0.5 * logdet, axis=0).astype(jnp.float32) / float(half_d)
+    return jnp.sum(per_class)
+
+
+# ---------------------------------------------------------------------------
+# Full composites (drop-in equivalents of HieraTripletLoss /
+# RMIHieraTripletLoss with identical call signatures)
+# ---------------------------------------------------------------------------
+
+
+class FastHieraTripletLoss:
+    """TPU fast path of losses/hiera.py:HieraTripletLoss. Accepts NHWC
+    logits straight from the head at LOW resolution plus the target
+    output size; transposes once, resizes and computes in C-major."""
+
+    def __init__(self, hierarchy, loss_weight=1.0, schedule_total_steps=80_000,
+                 axis_name: Optional[str] = None):
+        self.h = hierarchy
+        self.loss_weight = loss_weight
+        self.schedule_total_steps = schedule_total_steps
+        self.axis_name = axis_name
+
+    def __call__(self, step, embedding, cls_score_before, cls_score, label):
+        h = self.h
+        out_hw = label.shape[1:3]
+        lo = jnp.transpose(cls_score.astype(jnp.float32), (0, 3, 1, 2))
+        lf = _resize_cmajor(lo, out_hw)
+        t_fine, t_coarse = prepare_targets_two_level(label, h)
+        loss = hiera_bce_two_level_cmajor(lf, t_fine, t_coarse, h)
+        loss += _ce_cmajor(lf[:, : h.n_fine], t_fine, h.ignore_index)
+        loss += _ce_cmajor(lf[:, h.n_fine : h.n_fine + h.n_coarse], t_coarse,
+                           h.ignore_index)
+        t, c = tree_triplet_loss_range(embedding, label, h)
+        ready = triplet_readiness(c, self.axis_name)
+        factor = triplet_schedule_factor(step, self.schedule_total_steps)
+        return (loss + jnp.where(ready, factor * t, 0.0)) * self.loss_weight
+
+
+class FastRMIHieraTripletLoss:
+    """TPU fast path of losses/rmi.py:RMIHieraTripletLoss."""
+
+    def __init__(self, hierarchy, rmi_radius=3, loss_weight_lambda=0.5,
+                 loss_weight=1.0, upper_ids=None, lower_ids=None,
+                 use_float64=False, axis_name: Optional[str] = None):
+        self.h = hierarchy
+        self.rmi_radius = rmi_radius
+        self.loss_weight_lambda = loss_weight_lambda
+        self.loss_weight = loss_weight
+        self.upper_ids = upper_ids
+        self.lower_ids = lower_ids
+        self.use_float64 = use_float64
+        self.axis_name = axis_name
+
+    @property
+    def schedule_total_steps(self):
+        return 160_000 if self.h.n_fine > 15 else 60_000
+
+    def __call__(self, step, embedding, cls_score_before, cls_score, label):
+        h = self.h
+        nf, nm, nh_ = h.n_fine, h.n_coarse, h.n_super
+        out_hw = label.shape[1:3]
+        lo = jnp.transpose(cls_score.astype(jnp.float32), (0, 3, 1, 2))
+        lf = _resize_cmajor(lo, out_hw)
+        t_f, t_m, t_h = prepare_targets_three_level(label, h)
+
+        hiera = hiera_bce_three_level_cmajor(lf, t_f, t_m, t_h, h)
+
+        # RMI over concatenated per-level one-hots vs masked sigmoids
+        probs = jax.nn.sigmoid(lf)
+
+        def oh_valid(t, n):
+            valid = (t != h.ignore_index)[:, None]
+            safe = jnp.where(valid[:, 0], t, 0)[:, None]
+            return (safe == _class_iota(n)).astype(jnp.float32), valid
+
+        ohf, vf = oh_valid(t_f, nf)
+        ohm, vm = oh_valid(t_m, nm)
+        ohh, vh = oh_valid(t_h, nh_)
+        oh_all = jnp.concatenate([ohf, ohm, ohh], axis=1)
+        valid_all = jnp.concatenate(
+            [
+                jnp.broadcast_to(vf, ohf.shape),
+                jnp.broadcast_to(vm, ohm.shape),
+                jnp.broadcast_to(vh, ohh.shape),
+            ],
+            axis=1,
+        ).astype(jnp.float32)
+        rmi = rmi_lower_bound_cmajor(
+            oh_all, probs * valid_all + _CLIP_MIN,
+            radius=self.rmi_radius, use_float64=self.use_float64,
+        )
+        loss = self.loss_weight_lambda * rmi + 0.5 * hiera
+        loss += _ce_cmajor(lf[:, :nf], t_f, h.ignore_index)
+        loss += _ce_cmajor(lf[:, nf : nf + nm], t_m, h.ignore_index)
+        loss += _ce_cmajor(lf[:, nf + nm : nf + nm + nh_], t_h, h.ignore_index)
+
+        upper, lower = (
+            (tuple(self.upper_ids), tuple(self.lower_ids))
+            if self.upper_ids is not None
+            else h.split_upper_lower()
+        )
+        t, c = tree_triplet_loss_groups(
+            embedding, label, upper, lower, nf, ignore_index=h.ignore_index
+        )
+        ready = triplet_readiness(c, self.axis_name)
+        factor = triplet_schedule_factor(step, self.schedule_total_steps)
+        return (loss + jnp.where(ready, factor * t, 0.0)) * self.loss_weight
+
+
+def aux_ce_fast(aux_logits_nhwc, labels, ignore_index=255):
+    """Aux CE (train.py:308-313) with the upsample+CE in C-major."""
+    out_hw = labels.shape[1:3]
+    lo = jnp.transpose(aux_logits_nhwc.astype(jnp.float32), (0, 3, 1, 2))
+    lf = _resize_cmajor(lo, out_hw)
+    return _ce_cmajor(lf, labels, ignore_index, divide_by="valid")

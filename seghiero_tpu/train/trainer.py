@@ -65,9 +65,28 @@ class TrainState(struct.PyTreeNode):
 
 def make_composite_loss(cfg: SegHieroConfig, axis_name: Optional[str] = None):
     """2- vs 3-level loss dispatch on the presence of a super level
-    (mirrors train.py:176-233)."""
+    (mirrors train.py:176-233). ``training.fast_losses`` selects the
+    C-major TPU fast path (losses/fast.py), equivalence-tested against
+    the NHWC parity implementations."""
     h = cfg.hierarchy
     t = cfg.training
+    if t.fast_losses:
+        from seghiero_tpu.losses.fast import (
+            FastHieraTripletLoss,
+            FastRMIHieraTripletLoss,
+        )
+
+        if h.has_super:
+            return FastRMIHieraTripletLoss(
+                h,
+                rmi_radius=t.rmi_radius,
+                loss_weight_lambda=t.fine_weight,
+                loss_weight=1.0,
+                axis_name=axis_name,
+            )
+        return FastHieraTripletLoss(
+            h, loss_weight=t.fine_weight, axis_name=axis_name
+        )
     if h.has_super:
         return RMIHieraTripletLoss(
             hierarchy=h,
@@ -90,9 +109,13 @@ def _forward_losses(
     batch: Dict,
     sched_step: jax.Array,
     train: bool,
+    need_full_logits: bool = False,
 ):
     """Shared forward + loss assembly (train.py:266-315 for train,
-    :341-378 for val — identical math)."""
+    :341-378 for val — identical math). Fast-path composites
+    (losses/fast.py) take the LOW-resolution logits and do the resize
+    internally in C-major layout; the NHWC full-res logits are then only
+    materialized when the caller needs them (eval argmax)."""
     images = normalize_images(
         batch["image"], cfg.transform.normalize_mean, cfg.transform.normalize_std
     )
@@ -110,14 +133,22 @@ def _forward_losses(
         new_batch_stats = variables.get("batch_stats")
 
     logits = out["logits"]  # [B, H/4, W/4, C] f32
-    logits_before = resize_bilinear(logits, half_size(logits.shape[1:3]))  # 1/8
-    logits_full = resize_bilinear(logits, (H, W))
+    fast = composite.__class__.__module__ == "seghiero_tpu.losses.fast"
 
-    main_loss = composite(
-        sched_step, out["embedding"], logits_before[..., :n_fine], logits_full, fine
-    )
-    aux_up = resize_bilinear(out["aux_logits"], (H, W))
-    aux_loss = softmax_cross_entropy(aux_up, fine, divide_by="valid")
+    if fast:
+        main_loss = composite(sched_step, out["embedding"], logits, logits, fine)
+        from seghiero_tpu.losses.fast import aux_ce_fast
+
+        aux_loss = aux_ce_fast(out["aux_logits"], fine, cfg.hierarchy.ignore_index)
+        logits_full = resize_bilinear(logits, (H, W)) if need_full_logits else None
+    else:
+        logits_before = resize_bilinear(logits, half_size(logits.shape[1:3]))  # 1/8
+        logits_full = resize_bilinear(logits, (H, W))
+        main_loss = composite(
+            sched_step, out["embedding"], logits_before[..., :n_fine], logits_full, fine
+        )
+        aux_up = resize_bilinear(out["aux_logits"], (H, W))
+        aux_loss = softmax_cross_entropy(aux_up, fine, divide_by="valid")
     loss = main_loss + cfg.training.aux_weight * aux_loss
     return loss, main_loss, aux_loss, logits_full, new_batch_stats
 
@@ -223,7 +254,8 @@ def make_eval_step(model: HieroSegmenter, composite, cfg: SegHieroConfig) -> Cal
     def eval_step(state: TrainState, batch: Dict):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         loss, main, aux, logits_full, _ = _forward_losses(
-            model, composite, cfg, variables, batch, state.step, train=False
+            model, composite, cfg, variables, batch, state.step, train=False,
+            need_full_logits=True,
         )
         stats = {}
         level_labels = {"fine": batch["fine"], "coarse": batch.get("coarse")}

@@ -1,0 +1,101 @@
+"""Equivalence of the C-major TPU fast-path losses (losses/fast.py) with
+the NHWC parity implementations."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seghiero_tpu.hierarchy import Hierarchy
+from seghiero_tpu.losses import HieraTripletLoss, RMIHieraTripletLoss
+from seghiero_tpu.losses.cross_entropy import softmax_cross_entropy
+from seghiero_tpu.losses.fast import (
+    FastHieraTripletLoss,
+    FastRMIHieraTripletLoss,
+    aux_ce_fast,
+)
+from seghiero_tpu.ops.resize import half_size, resize_bilinear
+
+
+def _inputs(rng, h, B=2, H=64, W=64):
+    lo = rng.standard_normal((B, H // 4, W // 4, h.total_classes)).astype(np.float32) * 3
+    emb = rng.standard_normal((B, H // 32, W // 32, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    labels = rng.integers(0, h.n_fine, (B, H, W)).astype(np.int32)
+    labels[:, :3, :3] = 255
+    return lo, emb, labels
+
+
+def test_fast_2level_matches_parity(rng, classes_2level):
+    h = Hierarchy.from_class_config(classes_2level)
+    lo, emb, labels = _inputs(rng, h)
+    lf = resize_bilinear(lo, labels.shape[1:3])
+    lb = resize_bilinear(lo, half_size(lo.shape[1:3]))
+
+    for step in (0, 50_000, 100_000):
+        ref = float(
+            HieraTripletLoss(h)(jnp.array(step), emb, lb[..., : h.n_fine], lf, labels)
+        )
+        fast = float(
+            FastHieraTripletLoss(h)(jnp.array(step), emb, lo, lo, labels)
+        )
+        np.testing.assert_allclose(fast, ref, rtol=2e-5)
+
+
+def test_fast_3level_matches_parity(rng, classes_3level):
+    h = Hierarchy.from_class_config(classes_3level)
+    lo, emb, labels = _inputs(rng, h, H=32, W=32)
+    lf = resize_bilinear(lo, labels.shape[1:3])
+    lb = resize_bilinear(lo, half_size(lo.shape[1:3]))
+
+    ref = float(
+        RMIHieraTripletLoss(h)(jnp.array(0), emb, lb[..., : h.n_fine], lf, labels)
+    )
+    fast = float(FastRMIHieraTripletLoss(h)(jnp.array(0), emb, lo, lo, labels))
+    np.testing.assert_allclose(fast, ref, rtol=5e-5)
+
+
+def test_aux_ce_fast_matches_parity(rng, classes_2level):
+    h = Hierarchy.from_class_config(classes_2level)
+    B, H, W = 2, 64, 64
+    aux = rng.standard_normal((B, H // 16, W // 16, h.n_fine)).astype(np.float32)
+    labels = rng.integers(0, h.n_fine, (B, H, W)).astype(np.int32)
+    labels[:, -4:] = 255
+    ref = float(
+        softmax_cross_entropy(
+            resize_bilinear(aux, (H, W)), labels, divide_by="valid"
+        )
+    )
+    fast = float(aux_ce_fast(aux, labels))
+    np.testing.assert_allclose(fast, ref, rtol=2e-5)
+
+
+def test_trainer_uses_fast_path_and_trains(classes_2level, tmp_path):
+    from tests.test_train_e2e import tiny_config
+    from seghiero_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(classes_2level, tmp_path, epochs=1, size=4)
+    assert cfg.training.fast_losses
+    trainer = Trainer(cfg, verbose=False)
+    assert trainer.composite.__class__.__name__ == "FastHieraTripletLoss"
+    history = trainer.fit()
+    assert np.isfinite(history[0]["val_loss"])
+
+    # parity mode still available and numerically close on one batch
+    import dataclasses
+    import jax
+
+    cfg2 = tiny_config(
+        classes_2level, tmp_path / "p", epochs=1, size=4,
+        extra_training={"fast_losses": False},
+    )
+    t2 = Trainer(cfg2, verbose=False)
+    b = next(iter(t2.train_loader))
+    _, m_slow = t2._train_step(t2.state, b, jnp.asarray(0))
+    t3 = Trainer(
+        tiny_config(classes_2level, tmp_path / "f", epochs=1, size=4), verbose=False
+    )
+    b3 = next(iter(t3.train_loader))
+    _, m_fast = t3._train_step(t3.state, b3, jnp.asarray(0))
+    np.testing.assert_allclose(
+        float(m_fast["loss"]), float(m_slow["loss"]), rtol=1e-4
+    )
