@@ -178,12 +178,20 @@ def main():
             file=sys.stderr,
         )
 
-    headline = results.get(2) or results[cfg_ids[0]]
+    headline_id = 2 if 2 in results else cfg_ids[0]
+    headline = results[headline_id]
     value = headline["images_per_sec_per_chip"]
+    spec = BENCH_CONFIGS[headline_id]
+    name = (
+        "train_images_per_sec_per_chip_r50_2level_512"
+        if headline_id == 2
+        else f"{spec['mode']}_images_per_sec_per_chip_r{spec['depth']}_"
+        f"{spec['levels']}level_{spec['hw']}"
+    )
     print(
         json.dumps(
             {
-                "metric": "train_images_per_sec_per_chip_r50_2level_512",
+                "metric": name,
                 "value": round(value, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(value / A100_REF_IMG_S, 3),

@@ -100,6 +100,10 @@ class ModelConfig:
     pretrained_model: str = "resnet-101"
     depth: int = 101
     pretrained: Any = False  # False | True | path to torchvision .pth
+    # decode-head family: "sep_aspp_contrast" (reference default) or
+    # "aspp" (plain DeepLabV3 head, the reference's dead aspp_head.py
+    # made live — see models/decode_heads.py)
+    head: str = "sep_aspp_contrast"
     in_channels: int = 2048
     c1_in_channels: int = 256
     c1_channels: int = 48
@@ -122,10 +126,14 @@ class ModelConfig:
             raise ValueError(f"model.depth must be one of 18/34/50/101/152, got {depth}")
         c4 = 512 if depth in (18, 34) else 2048
         c1 = 64 if depth in (18, 34) else 256
+        head = str(d.get("head", "sep_aspp_contrast"))
+        if head not in ("sep_aspp_contrast", "aspp"):
+            raise ValueError(f"model.head must be sep_aspp_contrast|aspp, got {head}")
         return cls(
             pretrained_model=name,
             depth=depth,
             pretrained=d.get("pretrained", False),
+            head=head,
             in_channels=int(d.get("in_channels", c4)),
             c1_in_channels=int(d.get("c1_in_channels", c1)),
             c1_channels=int(d.get("c1_channels", 48)),
@@ -170,6 +178,10 @@ class TrainingConfig:
     # layout (losses/fast.py) — ~1.75× faster train step at 512px on v5e;
     # numerically equivalent (tested) to the NHWC parity implementations
     fast_losses: bool = True
+    # NaN guard (aux subsystem, SURVEY §5): aborts with the failing
+    # primitive's traceback on the first non-finite value. Debug only —
+    # disables async dispatch
+    debug_nans: bool = False
     # accepted-and-ignored reference keys, kept for round-tripping
     device: Optional[str] = None
     gpus: Optional[Sequence[int]] = None

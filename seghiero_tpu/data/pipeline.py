@@ -68,6 +68,7 @@ class BatchLoader:
         seed: int = 0,
         sharding=None,
         prefetch: int = 2,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -77,6 +78,13 @@ class BatchLoader:
         self.sharding = sharding
         self.prefetch = max(0, prefetch)
         self.epoch = 0
+        # decode-parallelism (the reference's DataLoader num_workers,
+        # train.py:125); threads not processes — PIL decode releases the GIL
+        self._pool = None
+        if num_workers and num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=num_workers)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -101,7 +109,10 @@ class BatchLoader:
             yield idx[i : i + self.batch_size]
 
     def _make_batch(self, indices) -> Dict[str, np.ndarray]:
-        samples = [self.dataset[int(i)] for i in indices]
+        if self._pool is not None:
+            samples = list(self._pool.map(self.dataset.__getitem__, map(int, indices)))
+        else:
+            samples = [self.dataset[int(i)] for i in indices]
         pad = self.batch_size - len(samples)
         batch = _collate(samples)
         if pad > 0:

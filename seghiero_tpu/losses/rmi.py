@@ -91,27 +91,39 @@ def rmi_lower_bound(
     la = _neighborhood_vectors(onehot, radius).astype(compute_dtype)  # [B,C,d,N]
     pr = _neighborhood_vectors(probs, radius).astype(compute_dtype)
     la = jax.lax.stop_gradient(la)  # targets carry no gradient (:500)
+    n = la.shape[-1]
 
-    # TPU numerics: f32 matmuls default to bf16-mantissa passes on the
-    # MXU, which is enough error over N ≈ H·W terms to push these tiny
-    # Gram matrices off positive-definite and NaN the Cholesky. Force
-    # full-f32 accumulation for the covariance contractions (negligible
-    # cost: the matrices are r²×r²).
+    # TPU numerics, two layers of defense (both exact rewrites):
+    #  1. f32 matmuls default to bf16-mantissa MXU passes — force
+    #     full-f32 accumulation (matrices are only r²×r²).
+    #  2. the reference computes raw Gram matrices with entries up to
+    #     N = H·W (≈2.6e5 at 512²) and relies on float64; in f32 the
+    #     la_cov − correction cancellation NaNs the Cholesky. Factor N
+    #     out: with B = appro_var/N,
+    #       logdet(appro_var + αI) = d·log N + logdet(B + (α/N)·I),
+    #     and every accumulated entry stays in ~[0, 1].
     hi = jax.lax.Precision.HIGHEST
+    inv_sqrt_n = 1.0 / np.sqrt(n)
+    la = la * inv_sqrt_n
+    pr = pr * inv_sqrt_n
+    alpha_n = _POS_ALPHA / n
     diag = jnp.eye(half_d, dtype=compute_dtype)
     la_cov = jnp.einsum("bcin,bcjn->bcij", la, la, precision=hi)
     pr_cov = jnp.einsum("bcin,bcjn->bcij", pr, pr, precision=hi)
     la_pr_cov = jnp.einsum("bcin,bcjn->bcij", la, pr, precision=hi)
-    pr_cov_inv = jnp.linalg.inv(pr_cov + diag * _POS_ALPHA)
+    pr_cov_inv = jnp.linalg.inv(pr_cov + diag * alpha_n)
     appro_var = la_cov - jnp.einsum(
         "bcij,bcjk,bclk->bcil", la_pr_cov, pr_cov_inv, la_pr_cov, precision=hi
     )
     # symmetrize: inv() round-off breaks exact symmetry before Cholesky
     appro_var = 0.5 * (appro_var + jnp.swapaxes(appro_var, -1, -2))
 
-    chol = jnp.linalg.cholesky(appro_var + diag * _POS_ALPHA)
+    chol = jnp.linalg.cholesky(appro_var + diag * alpha_n)
+    # reference guard log(diag + 1e-8) is applied at the unnormalized
+    # scale: diag_unnorm = sqrt(N)·diag_norm
+    sqrt_n = np.sqrt(n)
     logdet = 2.0 * jnp.sum(
-        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1) + 1e-8), axis=-1
+        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1) * sqrt_n + 1e-8), axis=-1
     )  # [B, C]
     rmi_per_class = jnp.mean(0.5 * logdet, axis=0).astype(jnp.float32) / float(half_d)
     return jnp.sum(rmi_per_class)

@@ -1,0 +1,118 @@
+"""Generic decode-head framework + plain-ASPP head family.
+
+The reference carries two dead mmseg-derived modules as extension-point
+evidence (SURVEY.md §1): ``models/head/decode_head.py`` (a
+``BaseDecodeHead`` clone — input_transform None/"resize_concat"/
+"multiple_select", dropout before cls_seg) and ``models/head/aspp_head.py``
+(DeepLabV3's plain ``ASPPHead``). Neither is importable there (mmseg
+registry leftovers); here they are live, tested model families:
+
+  * ``select_inputs``: the three input-transform policies
+    (decode_head.py:114-140,184-214 semantics).
+  * ``ASPPHead``: DeepLabV3 (not V3+): full-conv ASPP on C4 + bottleneck
+    + dropout + 1×1 classifier (aspp_head.py:70-158). No C1 skip, no
+    projection head — when used as the main head the trainer pairs it
+    with a zero embedding (triplet inactive) unless combined with
+    ``with_projection=True``.
+
+Select via config ``model.head: "sep_aspp_contrast" (default) | "aspp"``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from seghiero_tpu.models.heads import ProjectionHead
+from seghiero_tpu.models.resnet import batch_norm, conv
+from seghiero_tpu.ops.resize import resize_bilinear
+
+
+def select_inputs(feats: Sequence[jnp.ndarray], in_index, input_transform: Optional[str]):
+    """BaseDecodeHead input selection (decode_head.py:184-214).
+
+    - None: single feature at ``in_index``
+    - "resize_concat": resize every indexed feature to the first's HW and
+      concat channels
+    - "multiple_select": list of indexed features
+    """
+    if input_transform is None:
+        idx = in_index if isinstance(in_index, int) else in_index[0]
+        return feats[idx]
+    selected = [feats[i] for i in in_index]
+    if input_transform == "multiple_select":
+        return selected
+    if input_transform == "resize_concat":
+        hw = selected[0].shape[1:3]
+        up = [
+            x if x.shape[1:3] == hw
+            else resize_bilinear(x.astype(jnp.float32), hw).astype(x.dtype)
+            for x in selected
+        ]
+        return jnp.concatenate(up, axis=-1)
+    raise ValueError(f"unknown input_transform {input_transform!r}")
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = conv(self.features, self.kernel, dilation=self.dilation,
+                 dtype=self.dtype, name="conv")(x)
+        x = batch_norm(train, self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class ASPPHead(nn.Module):
+    """DeepLabV3 ASPP head (aspp_head.py:70-158): image pool + 1×1 + full
+    (non-separable) dilated 3×3 branches → bottleneck → dropout →
+    classifier. Returns (logits_at_c4_res, embedding|None)."""
+
+    num_classes: int
+    channels: int = 512
+    dilations: Sequence[int] = (1, 12, 24, 36)
+    dropout_rate: float = 0.1  # decode_head.py:216-224 cls_seg dropout
+    with_projection: bool = False
+    proj_dim: int = 256
+    proj_type: str = "convmlp"
+    in_index: int = -1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool):
+        x = select_inputs(feats, self.in_index, None)
+        embedding = None
+        if self.with_projection:
+            embedding = ProjectionHead(
+                self.proj_dim, self.proj_type, dtype=self.dtype, name="proj_head"
+            )(x, train)
+
+        H, W = x.shape[1:3]
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        imgp = ConvBNReLU(self.channels, 1, dtype=self.dtype, name="image_pool")(
+            pooled, train
+        )
+        branches = [jnp.broadcast_to(imgp, (x.shape[0], H, W, self.channels))]
+        branches.append(
+            ConvBNReLU(self.channels, 1, dtype=self.dtype, name="branch0")(x, train)
+        )
+        for i, d in enumerate(self.dilations[1:], start=1):
+            branches.append(
+                ConvBNReLU(self.channels, 3, dilation=d, dtype=self.dtype,
+                           name=f"branch{i}")(x, train)
+            )
+        y = jnp.concatenate(branches, axis=-1)
+        y = ConvBNReLU(self.channels, 3, dtype=self.dtype, name="bottleneck")(y, train)
+        if self.dropout_rate and train:
+            y = nn.Dropout(self.dropout_rate, deterministic=False)(y)
+        logits = nn.Conv(
+            self.num_classes, (1, 1), use_bias=True, dtype=self.dtype, name="cls_seg"
+        )(y)
+        return logits.astype(jnp.float32), embedding

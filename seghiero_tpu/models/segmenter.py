@@ -29,6 +29,7 @@ class HieroSegmenter(nn.Module):
     num_classes: int
     n_fine: int
     depth: int = 101
+    head_type: str = "sep_aspp_contrast"
     c1_channels: int = 48
     aspp_channels: int = 512
     dilations: tuple = (1, 12, 24, 36)
@@ -42,16 +43,30 @@ class HieroSegmenter(nn.Module):
         feats = ResNetBackbone(self.depth, dtype=self.dtype, name="backbone")(
             images, train
         )
-        logits, embedding = SepASPPContrastHead(
-            num_classes=self.num_classes,
-            c1_channels=self.c1_channels,
-            aspp_channels=self.aspp_channels,
-            dilations=tuple(self.dilations),
-            proj_dim=self.proj_dim,
-            proj_type=self.proj_type,
-            dtype=self.dtype,
-            name="head",
-        )(feats, train)
+        if self.head_type == "aspp":
+            from seghiero_tpu.models.decode_heads import ASPPHead
+
+            logits, embedding = ASPPHead(
+                num_classes=self.num_classes,
+                channels=self.aspp_channels,
+                dilations=tuple(self.dilations),
+                with_projection=True,  # triplet loss needs an embedding
+                proj_dim=self.proj_dim,
+                proj_type=self.proj_type,
+                dtype=self.dtype,
+                name="head",
+            )(feats, train)
+        else:
+            logits, embedding = SepASPPContrastHead(
+                num_classes=self.num_classes,
+                c1_channels=self.c1_channels,
+                aspp_channels=self.aspp_channels,
+                dilations=tuple(self.dilations),
+                proj_dim=self.proj_dim,
+                proj_type=self.proj_type,
+                dtype=self.dtype,
+                name="head",
+            )(feats, train)
         out = {"logits": logits, "embedding": embedding}
         if self.with_aux:
             out["aux_logits"] = AuxHead(self.n_fine, dtype=self.dtype, name="aux_head")(
@@ -68,6 +83,7 @@ def build_model(cfg: SegHieroConfig, with_aux: bool = True) -> HieroSegmenter:
         num_classes=cfg.hierarchy.total_classes,
         n_fine=cfg.hierarchy.n_fine,
         depth=m.depth,
+        head_type=m.head,
         c1_channels=m.c1_channels,
         aspp_channels=m.aspp_channels,
         dilations=tuple(m.dilations),

@@ -125,7 +125,12 @@ def _forward_losses(
 
     if train:
         out, mutated = model.apply(
-            variables, images, train=True, mutable=["batch_stats"]
+            variables,
+            images,
+            train=True,
+            mutable=["batch_stats"],
+            # per-step dropout stream (only the plain-ASPP head uses it)
+            rngs={"dropout": jax.random.fold_in(jax.random.key(0), sched_step)},
         )
         new_batch_stats = mutated["batch_stats"]
     else:
@@ -283,6 +288,8 @@ class Trainer:
 
     def __post_init__(self):
         cfg = self.cfg
+        if cfg.training.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         if self.mesh is None:
             spec = dict(cfg.training.mesh)
             if spec.get("data", -1) == -1:
@@ -311,6 +318,7 @@ class Trainer:
             drop_last=True,
             seed=cfg.training.seed,
             sharding=bsh,
+            num_workers=cfg.training.num_workers,
         )
         self.val_loader = BatchLoader(
             self.val_ds,
@@ -318,6 +326,7 @@ class Trainer:
             shuffle=False,
             drop_last=False,
             sharding=bsh,
+            num_workers=cfg.training.num_workers,
         )
 
         total_steps = len(self.train_loader) * cfg.training.epochs

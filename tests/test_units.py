@@ -91,6 +91,17 @@ def test_batch_loader_shuffle_is_per_epoch_deterministic():
     assert order0 != [b["fine"][0, 0, 0] for b in dl]
 
 
+def test_batch_loader_num_workers_threadpool():
+    from seghiero_tpu.data.pipeline import BatchLoader
+
+    ds = _ToyDataset(6)
+    dl = BatchLoader(ds, 2, num_workers=3, prefetch=0)
+    batches = list(dl)
+    assert len(batches) == 3
+    # decode order preserved despite the pool
+    assert [int(b["fine"][0, 0, 0]) for b in batches] == [0, 2, 4]
+
+
 def test_batch_loader_propagates_worker_errors():
     from seghiero_tpu.data.pipeline import BatchLoader
 
