@@ -182,6 +182,10 @@ class TrainingConfig:
     # primitive's traceback on the first non-finite value. Debug only —
     # disables async dispatch
     debug_nans: bool = False
+    # use the Pallas fused upsample+BCE+CE kernel for the 2-level loss.
+    # Default OFF: bit-exact but measured slower than the XLA C-major
+    # path (see ops/pallas/hiera2_fused.py docstring)
+    pallas_fused_loss: bool = False
     # accepted-and-ignored reference keys, kept for round-tripping
     device: Optional[str] = None
     gpus: Optional[Sequence[int]] = None

@@ -167,23 +167,47 @@ class FastHieraTripletLoss:
     logits straight from the head at LOW resolution plus the target
     output size; transposes once, resizes and computes in C-major."""
 
+    wants_low_res = True  # trainer feeds low-res logits (no NHWC full-res)
+
     def __init__(self, hierarchy, loss_weight=1.0, schedule_total_steps=80_000,
-                 axis_name: Optional[str] = None):
+                 axis_name: Optional[str] = None, use_pallas: bool = False):
         self.h = hierarchy
         self.loss_weight = loss_weight
         self.schedule_total_steps = schedule_total_steps
         self.axis_name = axis_name
+        self.use_pallas = use_pallas
 
     def __call__(self, step, embedding, cls_score_before, cls_score, label):
         h = self.h
         out_hw = label.shape[1:3]
         lo = jnp.transpose(cls_score.astype(jnp.float32), (0, 3, 1, 2))
-        lf = _resize_cmajor(lo, out_hw)
         t_fine, t_coarse = prepare_targets_two_level(label, h)
-        loss = hiera_bce_two_level_cmajor(lf, t_fine, t_coarse, h)
-        loss += _ce_cmajor(lf[:, : h.n_fine], t_fine, h.ignore_index)
-        loss += _ce_cmajor(lf[:, h.n_fine : h.n_fine + h.n_coarse], t_coarse,
-                           h.ignore_index)
+
+        use_pallas = False
+        if self.use_pallas:
+            from seghiero_tpu.ops.pallas.hiera2_fused import (
+                fused_hiera2_available,
+                fused_hiera2_loss_sums,
+            )
+
+            use_pallas = fused_hiera2_available(lo, label)
+        if use_pallas:
+            s_f, s_c, nvf, nvc, ce_f, ce_c = fused_hiera2_loss_sums(
+                lo, t_fine, t_coarse, h
+            )
+            total = label.size
+            loss = 5.0 * (
+                s_f / (jnp.maximum(nvf, 1.0) * h.n_fine)
+                + s_c / (jnp.maximum(nvc, 1.0) * h.n_coarse)
+            )
+            loss = loss + ce_f / total + ce_c / total
+        else:
+            lf = _resize_cmajor(lo, out_hw)
+            loss = hiera_bce_two_level_cmajor(lf, t_fine, t_coarse, h)
+            loss += _ce_cmajor(lf[:, : h.n_fine], t_fine, h.ignore_index)
+            loss += _ce_cmajor(
+                lf[:, h.n_fine : h.n_fine + h.n_coarse], t_coarse, h.ignore_index
+            )
         t, c = tree_triplet_loss_range(embedding, label, h)
         ready = triplet_readiness(c, self.axis_name)
         factor = triplet_schedule_factor(step, self.schedule_total_steps)
@@ -192,6 +216,8 @@ class FastHieraTripletLoss:
 
 class FastRMIHieraTripletLoss:
     """TPU fast path of losses/rmi.py:RMIHieraTripletLoss."""
+
+    wants_low_res = True
 
     def __init__(self, hierarchy, rmi_radius=3, loss_weight_lambda=0.5,
                  loss_weight=1.0, upper_ids=None, lower_ids=None,

@@ -38,15 +38,22 @@ def pixel_accuracy_counts(preds, labels, ignore_index: int = 255):
     return correct, jnp.sum(valid.astype(jnp.int64))
 
 
-def miou_from_confusion(cm: np.ndarray) -> float:
-    """Mean IoU over classes that appear in truth or prediction."""
+def per_class_iou(cm: np.ndarray) -> np.ndarray:
+    """IoU per class (NaN for classes absent from truth and prediction)."""
     cm = np.asarray(cm, np.float64)
     tp = np.diag(cm)
     denom = cm.sum(0) + cm.sum(1) - tp
-    present = denom > 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(denom > 0, tp / denom, np.nan)
+
+
+def miou_from_confusion(cm: np.ndarray) -> float:
+    """Mean IoU over classes that appear in truth or prediction."""
+    ious = per_class_iou(cm)
+    present = ~np.isnan(ious)
     if not present.any():
         return 0.0
-    return float(np.mean(tp[present] / denom[present]))
+    return float(np.mean(ious[present]))
 
 
 def accuracy_topk(logits: jax.Array, labels: jax.Array, topk=(1,), thresh=None):
@@ -95,3 +102,21 @@ class SegMetrics:
             out[f"{lvl}_acc"] = self.correct[lvl] / max(self.valid[lvl], 1)
             out[f"{lvl}_miou"] = miou_from_confusion(self.cms[lvl])
         return out
+
+    def iou_table(self, names_per_level: Dict[str, Dict[int, str]]) -> str:
+        """Per-class IoU report (extension — the reference has no mIoU)."""
+        from seghiero_tpu.utils.tables import ascii_table
+
+        rows = [["Level", "Class", "Name", "IoU"]]
+        for lvl, cm in self.cms.items():
+            names = names_per_level.get(lvl, {})
+            for cid, iou in enumerate(per_class_iou(cm)):
+                rows.append(
+                    [
+                        lvl,
+                        cid,
+                        names.get(cid, ""),
+                        "-" if np.isnan(iou) else f"{iou * 100:.2f}%",
+                    ]
+                )
+        return ascii_table(rows)

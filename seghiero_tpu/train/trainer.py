@@ -85,7 +85,10 @@ def make_composite_loss(cfg: SegHieroConfig, axis_name: Optional[str] = None):
                 axis_name=axis_name,
             )
         return FastHieraTripletLoss(
-            h, loss_weight=t.fine_weight, axis_name=axis_name
+            h,
+            loss_weight=t.fine_weight,
+            axis_name=axis_name,
+            use_pallas=t.pallas_fused_loss,
         )
     if h.has_super:
         return RMIHieraTripletLoss(
@@ -138,7 +141,7 @@ def _forward_losses(
         new_batch_stats = variables.get("batch_stats")
 
     logits = out["logits"]  # [B, H/4, W/4, C] f32
-    fast = composite.__class__.__module__ == "seghiero_tpu.losses.fast"
+    fast = getattr(composite, "wants_low_res", False)
 
     if fast:
         main_loss = composite(sched_step, out["embedding"], logits, logits, fine)
@@ -438,20 +441,42 @@ class Trainer:
                 self.train_loader.set_epoch(epoch)
                 running = 0.0
                 t0 = time.perf_counter()
-                for i, batch in enumerate(self.train_loader):
+                iterator = enumerate(self.train_loader)
+                pbar = None
+                if self.verbose:
+                    try:  # reference-style progress bar (train.py:259)
+                        from tqdm import tqdm
+
+                        pbar = tqdm(
+                            total=n_train,
+                            desc=f"Epoch {epoch + 1}/{cfg.training.epochs} [Train]",
+                            leave=False,
+                        )
+                    except ImportError:
+                        pbar = None
+                for i, batch in iterator:
                     self.state, m = self._train_step(
                         self.state, batch, jnp.asarray(epoch)
                     )
                     timer.tick(cfg.training.batch_size)
+                    if pbar is not None:
+                        pbar.update(1)
                     if (i + 1) % cfg.training.log_every == 0 or i + 1 == n_train:
                         running = float(m["loss"])  # one sync per log interval
-                        if self.verbose:
-                            ips = timer.images_per_sec
+                        ips = timer.images_per_sec
+                        if pbar is not None:
+                            pbar.set_postfix(
+                                train_loss=f"{running:.4f}",
+                                **({"img_s": f"{ips:.1f}"} if ips else {}),
+                            )
+                        elif self.verbose:
                             print(
                                 f"epoch {epoch + 1} step {i + 1}/{n_train} "
                                 f"loss {running:.4f}"
                                 + (f" ({ips:.1f} img/s)" if ips else "")
                             )
+                if pbar is not None:
+                    pbar.close()
                 train_time = time.perf_counter() - t0
 
                 val = self.evaluate()
