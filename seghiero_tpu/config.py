@@ -214,6 +214,8 @@ class TransformConfig:
     hflip_prob: float = 0.5
     normalize_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     normalize_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # "pil" = reference-parity image resize; "native" = C++ transform core
+    backend: str = "pil"
 
     @classmethod
     def from_dict(cls, d: dict) -> "TransformConfig":
@@ -221,11 +223,15 @@ class TransformConfig:
         # Note: the reference mixes PIL (W,H) and F.interpolate (H,W)
         # conventions (dataloader.py:51-56) — only safe for square sizes.
         # We define resize as (H, W) and apply it consistently.
+        backend = str(d.get("backend", "pil"))
+        if backend not in ("pil", "native"):
+            raise ValueError(f"transform.backend must be pil|native, got {backend}")
         return cls(
             resize=_as_tuple2(d.get("resize"), "transform.resize"),
             hflip_prob=float(d.get("hflip_prob", 0.5)),
             normalize_mean=tuple(d.get("normalize_mean", (0.485, 0.456, 0.406))),
             normalize_std=tuple(d.get("normalize_std", (0.229, 0.224, 0.225))),
+            backend=backend,
         )
 
 

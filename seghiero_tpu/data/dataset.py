@@ -66,9 +66,9 @@ class HieroDataset:
                 # deterministic eval: no flips (the reference flips val
                 # batches too via the same transform — we diverge: eval
                 # should be deterministic; resize still applies)
-                self.transform = JointTransform(
-                    resize=self.transform.resize, hflip_prob=0.0
-                )
+                import dataclasses as _dc
+
+                self.transform = _dc.replace(self.transform, hflip_prob=0.0)
 
     def set_epoch(self, epoch: int) -> None:
         """Advance the per-epoch augmentation stream."""

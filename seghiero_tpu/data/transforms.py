@@ -39,13 +39,36 @@ def resize_mask_nearest(mask: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class JointTransform:
+    """backend "pil" (default) reproduces the reference's PIL bilinear
+    (area-filtered); "native" uses the C++ transform core
+    (data/native/transform.cpp — half-pixel sampling, the torch/jax
+    convention) for higher host throughput."""
+
     resize: Optional[Tuple[int, int]] = None  # (H, W)
     hflip_prob: float = 0.5
+    backend: str = "pil"
 
     def __call__(
         self, img: Image.Image, mask: np.ndarray, rng: Optional[np.random.Generator]
     ) -> Tuple[np.ndarray, np.ndarray]:
         """img: PIL RGB; mask: [H, W] int. Returns (uint8 HWC, int32 HW)."""
+        if self.backend == "native":
+            from seghiero_tpu.data import native
+
+            arr = np.asarray(img, dtype=np.uint8)
+            mask = np.ascontiguousarray(mask, np.int32)
+            if self.resize is not None:
+                arr = native.resize_bilinear_u8(arr, self.resize)
+                mask = native.resize_nearest_i32(mask, self.resize)
+            if (
+                rng is not None
+                and self.hflip_prob > 0
+                and rng.random() < self.hflip_prob
+            ):
+                arr = native.hflip_u8(arr)
+                mask = native.hflip_i32(mask)
+            return arr, mask
+
         if self.resize is not None:
             h, w = self.resize
             img = img.resize((w, h), Image.BILINEAR)  # PIL wants (W, H)
@@ -58,4 +81,4 @@ class JointTransform:
 
     @classmethod
     def from_config(cls, tf: TransformConfig) -> "JointTransform":
-        return cls(resize=tf.resize, hflip_prob=tf.hflip_prob)
+        return cls(resize=tf.resize, hflip_prob=tf.hflip_prob, backend=tf.backend)

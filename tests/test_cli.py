@@ -96,6 +96,20 @@ def test_train_then_infer_cli(file_dataset, tmp_path, capsys):
     assert fine.max() < 9
 
 
+def test_native_transform_backend_trains(file_dataset, tmp_path):
+    """File-backed training through the C++ transform core."""
+    import yaml
+
+    cfg_path, _ = file_dataset
+    cfg = yaml.safe_load(cfg_path.read_text())
+    cfg["transform"]["backend"] = "native"
+    cfg["training"]["num_workers"] = 2
+    cfg["output"]["checkpoint_dir"] = str(tmp_path / "nat")
+    p2 = tmp_path / "native.yaml"
+    p2.write_text(yaml.safe_dump(cfg))
+    assert train_main(["--config", str(p2), "--quiet"]) == 0
+
+
 def test_resume_cli(file_dataset, capsys):
     cfg_path, _ = file_dataset
     train_main(["--config", str(cfg_path), "--quiet"])
