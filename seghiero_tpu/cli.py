@@ -80,6 +80,13 @@ def infer_main(argv=None) -> int:
         help="Accepted for reference-CLI compatibility; ignored (JAX runtime)",
     )
     p.add_argument("--output-dir", type=str, default=".")
+    p.add_argument(
+        "--consistent",
+        action="store_true",
+        help="derive coarse/super masks from the fine argmax through the "
+        "hierarchy (guaranteed tree-consistent; extension — the reference "
+        "argmaxes each level independently)",
+    )
     args = p.parse_args(argv)
 
     from seghiero_tpu.config import load_config
@@ -91,7 +98,7 @@ def infer_main(argv=None) -> int:
 
     predictor = Predictor.from_checkpoint(cfg, args.checkpoint)
     for image_path in args.image:
-        preds, _ = predictor.predict_image(image_path)
+        preds, _ = predictor.predict_image(image_path, consistent=args.consistent)
         base = os.path.splitext(os.path.basename(image_path))[0]
         for path in predictor.export_masks(preds, args.output_dir, base):
             print(f"→ Saved {path}")

@@ -130,10 +130,19 @@ class Predictor:
 
     # ------------------------------------------------------------------
     def predict_array(
-        self, images_u8: np.ndarray, out_hw: Optional[Tuple[int, int]] = None
+        self,
+        images_u8: np.ndarray,
+        out_hw: Optional[Tuple[int, int]] = None,
+        consistent: bool = False,
     ) -> Dict[str, np.ndarray]:
         """Batched prediction. images_u8 [B, H, W, 3] → per-level int32
-        masks [B, out_h, out_w] (out defaults to input size)."""
+        masks [B, out_h, out_w] (out defaults to input size).
+
+        ``consistent=False`` (default) decodes each level by independent
+        argmax — exactly the reference (infer.py:302-312), which can emit
+        hierarchy-inconsistent label pairs. ``consistent=True`` is an
+        extension: coarse/super masks are derived from the fine argmax
+        through the hierarchy LUTs, guaranteeing tree consistency."""
         out_hw = out_hw or images_u8.shape[1:3]
         if self.spatial_shards > 1:
             from seghiero_tpu.parallel.spatial import spatial_batch_sharding
@@ -144,13 +153,21 @@ class Predictor:
         images = jax.device_put(images_u8, in_sharding)
         variables = jax.device_put(self.variables, replicated_sharding(self.mesh))
         preds, _ = self._predict(variables, images, tuple(out_hw))
-        return {k: np.asarray(v) for k, v in preds.items()}
+        out = {k: np.asarray(v) for k, v in preds.items()}
+        if consistent:
+            h = self.cfg.hierarchy
+            out["coarse"] = h.fine_to_coarse[out["fine"]].astype(np.int32)
+            if h.has_super:
+                out["super"] = h.fine_to_super[out["fine"]].astype(np.int32)
+        return out
 
-    def predict_image(self, path: str) -> Tuple[Dict[str, np.ndarray], Image.Image]:
+    def predict_image(
+        self, path: str, consistent: bool = False
+    ) -> Tuple[Dict[str, np.ndarray], Image.Image]:
         """Single-image path: resize per config, predict, upsample masks
         to the ORIGINAL image size (infer.py:291-312)."""
         arr, orig_hw, pil = preprocess_image(path, self.cfg.transform.resize)
-        preds = self.predict_array(arr[None], out_hw=orig_hw)
+        preds = self.predict_array(arr[None], out_hw=orig_hw, consistent=consistent)
         return {k: v[0] for k, v in preds.items()}, pil
 
     # ------------------------------------------------------------------

@@ -13,6 +13,7 @@ from seghiero_tpu.losses.tree_triplet import (
 )
 from seghiero_tpu.losses.rmi import rmi_lower_bound, RMIHieraTripletLoss
 from seghiero_tpu.losses.focal import hiera_focal_loss
+from seghiero_tpu.losses.fast import FastHieraTripletLoss, FastRMIHieraTripletLoss
 
 __all__ = [
     "softmax_cross_entropy",
@@ -27,4 +28,6 @@ __all__ = [
     "rmi_lower_bound",
     "RMIHieraTripletLoss",
     "hiera_focal_loss",
+    "FastHieraTripletLoss",
+    "FastRMIHieraTripletLoss",
 ]

@@ -164,6 +164,30 @@ def test_normalize_images_matches_torchvision_formula(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_profiler_trace_smoke(tmp_path):
+    """output.profile_dir produces a jax.profiler trace (aux subsystem)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from seghiero_tpu.utils.profiling import StepTimer, maybe_profile
+
+    with maybe_profile(str(tmp_path / "prof")):
+        jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tmp_path / "prof")
+        for f in fs
+    ]
+    assert files, "no trace files written"
+
+    t = StepTimer(warmup_steps=1)
+    for _ in range(3):
+        t.tick(4)
+    assert t.images_per_sec is not None and t.images_per_sec > 0
+
+
 def test_focal_loss_numpy_oracle(rng, classes_2level):
     """hiera_focal_loss vs a direct NumPy transcription of the focal
     formula (reference dead code hiera_loss.py:72-115, γ=2)."""
