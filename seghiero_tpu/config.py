@@ -104,6 +104,9 @@ class ModelConfig:
     # "aspp" (plain DeepLabV3 head, the reference's dead aspp_head.py
     # made live — see models/decode_heads.py)
     head: str = "sep_aspp_contrast"
+    # backbone output stride: 32 (reference parity) | 16 | 8 (dilated
+    # stages, the DeepLab configuration — better mIoU, more compute)
+    output_stride: int = 32
     in_channels: int = 2048
     c1_in_channels: int = 256
     c1_channels: int = 48
@@ -129,11 +132,15 @@ class ModelConfig:
         head = str(d.get("head", "sep_aspp_contrast"))
         if head not in ("sep_aspp_contrast", "aspp"):
             raise ValueError(f"model.head must be sep_aspp_contrast|aspp, got {head}")
+        output_stride = int(d.get("output_stride", 32))
+        if output_stride not in (8, 16, 32):
+            raise ValueError(f"model.output_stride must be 8|16|32, got {output_stride}")
         return cls(
             pretrained_model=name,
             depth=depth,
             pretrained=d.get("pretrained", False),
             head=head,
+            output_stride=output_stride,
             in_channels=int(d.get("in_channels", c4)),
             c1_in_channels=int(d.get("c1_in_channels", c1)),
             c1_channels=int(d.get("c1_channels", 48)),

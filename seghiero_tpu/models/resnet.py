@@ -62,15 +62,19 @@ def batch_norm(train: bool, dtype=jnp.float32, name=None):
 class BasicBlock(nn.Module):
     features: int
     stride: int = 1
+    dilation: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        y = conv(self.features, 3, self.stride, dtype=self.dtype, name="conv1")(x)
+        y = conv(
+            self.features, 3, self.stride, self.dilation, dtype=self.dtype, name="conv1"
+        )(x)
         y = batch_norm(train, self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = conv(self.features, 3, dtype=self.dtype, name="conv2")(y)
+        y = conv(self.features, 3, dilation=self.dilation, dtype=self.dtype,
+                 name="conv2")(y)
         y = batch_norm(train, self.dtype, name="bn2")(y)
         if identity.shape != y.shape:
             identity = conv(
@@ -83,6 +87,7 @@ class BasicBlock(nn.Module):
 class Bottleneck(nn.Module):
     features: int  # width of the 3x3; output is 4x this
     stride: int = 1
+    dilation: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -92,7 +97,9 @@ class Bottleneck(nn.Module):
         y = batch_norm(train, self.dtype, name="bn1")(y)
         y = nn.relu(y)
         # stride on the 3x3 (torchvision v1.5 placement)
-        y = conv(self.features, 3, self.stride, dtype=self.dtype, name="conv2")(y)
+        y = conv(
+            self.features, 3, self.stride, self.dilation, dtype=self.dtype, name="conv2"
+        )(y)
         y = batch_norm(train, self.dtype, name="bn2")(y)
         y = nn.relu(y)
         y = conv(self.features * 4, 1, dtype=self.dtype, name="conv3")(y)
@@ -106,18 +113,32 @@ class Bottleneck(nn.Module):
 
 
 class ResNetBackbone(nn.Module):
-    """Returns (C1, C2, C3, C4) at strides 4/8/16/32 with channel widths
-    256/512/1024/2048 (bottleneck) or 64/128/256/512 (basic)."""
+    """Returns (C1, C2, C3, C4).
+
+    ``output_stride`` controls C4's stride via dilated stages (the
+    DeepLab trick; torchvision ``replace_stride_with_dilation``
+    semantics, so converted ImageNet weights remain valid):
+      * 32 (default — matches the reference, which uses the plain
+        torchvision backbone, resnet.py:34-54)
+      * 16: layer4 dilated ×2
+      * 8:  layer3 ×2, layer4 ×4
+    Channel widths: 256/512/1024/2048 (bottleneck) or 64/128/256/512.
+    """
 
     depth: int = 101
+    output_stride: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         if self.depth not in STAGE_BLOCKS:
             raise ValueError(f"depth must be one of {sorted(STAGE_BLOCKS)}")
+        if self.output_stride not in (8, 16, 32):
+            raise ValueError("output_stride must be 8, 16 or 32")
         block_cls = Bottleneck if self.depth in BOTTLENECK_DEPTHS else BasicBlock
         blocks = STAGE_BLOCKS[self.depth]
+        # stages that trade stride for dilation
+        dilate_stage = {8: (2, 3), 16: (3,), 32: ()}[self.output_stride]
 
         x = x.astype(self.dtype)
         x = conv(64, 7, stride=2, dtype=self.dtype, name="stem_conv")(x)
@@ -129,12 +150,20 @@ class ResNetBackbone(nn.Module):
 
         feats = []
         widths = (64, 128, 256, 512)
+        dilation = 1
         for stage, (width, n_blocks) in enumerate(zip(widths, blocks)):
             stride = 1 if stage == 0 else 2
+            prev_dilation = dilation
+            if stage in dilate_stage:
+                dilation *= stride
+                stride = 1
             for b in range(n_blocks):
                 x = block_cls(
                     width,
                     stride=stride if b == 0 else 1,
+                    # torchvision: the stage's first block keeps the
+                    # pre-doubling dilation, the rest use the doubled one
+                    dilation=prev_dilation if b == 0 else dilation,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{b}",
                 )(x, train)

@@ -29,6 +29,7 @@ class HieroSegmenter(nn.Module):
     num_classes: int
     n_fine: int
     depth: int = 101
+    output_stride: int = 32
     head_type: str = "sep_aspp_contrast"
     c1_channels: int = 48
     aspp_channels: int = 512
@@ -40,9 +41,9 @@ class HieroSegmenter(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
-        feats = ResNetBackbone(self.depth, dtype=self.dtype, name="backbone")(
-            images, train
-        )
+        feats = ResNetBackbone(
+            self.depth, self.output_stride, dtype=self.dtype, name="backbone"
+        )(images, train)
         if self.head_type == "aspp":
             from seghiero_tpu.models.decode_heads import ASPPHead
 
@@ -83,6 +84,7 @@ def build_model(cfg: SegHieroConfig, with_aux: bool = True) -> HieroSegmenter:
         num_classes=cfg.hierarchy.total_classes,
         n_fine=cfg.hierarchy.n_fine,
         depth=m.depth,
+        output_stride=m.output_stride,
         head_type=m.head,
         c1_channels=m.c1_channels,
         aspp_channels=m.aspp_channels,

@@ -39,6 +39,38 @@ def test_backbone_strides_and_channels():
     assert c4.shape == (1, 3, 3, 2048)
 
 
+@pytest.mark.parametrize("os_, c3s, c4s", [(16, 6, 6), (8, 12, 12)])
+def test_backbone_dilated_output_stride(os_, c3s, c4s):
+    """output_stride 8/16 via dilated stages: same params, larger maps."""
+    bb = ResNetBackbone(depth=18, output_stride=os_)
+    x = jnp.zeros((1, 96, 96, 3))
+    vars_ = bb.init(jax.random.key(0), x, train=False)
+    c1, c2, c3, c4 = bb.apply(vars_, x, train=False)
+    assert c3.shape[1] == c3s and c4.shape[1] == c4s
+    # identical parameter tree to the plain backbone → ImageNet weights
+    # convert unchanged
+    plain = ResNetBackbone(depth=18).init(jax.random.key(0), x, train=False)
+    a = jax.tree_util.tree_map(jnp.shape, vars_["params"])
+    b = jax.tree_util.tree_map(jnp.shape, plain["params"])
+    assert a == b
+
+
+def test_segmenter_output_stride8_trains(classes_2level, tmp_path):
+    import dataclasses
+
+    from tests.test_train_e2e import tiny_config
+    from seghiero_tpu.train.trainer import Trainer
+    import numpy as np
+
+    cfg = tiny_config(classes_2level, tmp_path, epochs=1, size=4)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, output_stride=8)
+    )
+    trainer = Trainer(cfg, verbose=False)
+    history = trainer.fit()
+    assert np.isfinite(history[0]["train_loss"])
+
+
 def test_stem_matches_torch_padding(rng):
     """The stem's 7×7/2 conv + 3×3/2 maxpool use torch-style symmetric
     padding, not XLA SAME — verify numerically against torch F ops."""
