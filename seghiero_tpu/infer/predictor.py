@@ -161,6 +161,57 @@ class Predictor:
                 out["super"] = h.fine_to_super[out["fine"]].astype(np.int32)
         return out
 
+    def predict_sliding(
+        self,
+        images_u8: np.ndarray,
+        window: Tuple[int, int],
+        stride: Optional[Tuple[int, int]] = None,
+        consistent: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Sliding-window inference for images larger than the training
+        resolution (extension — the reference resizes instead,
+        infer.py:281-300): overlapping windows are forwarded, their
+        logits averaged in the overlaps, then per-level argmax.
+
+        images_u8 [B, H, W, 3]; window/stride in pixels (stride defaults
+        to half the window). Window positions are static per input shape
+        (one jit specialization per geometry).
+        """
+        B, H, W = images_u8.shape[:3]
+        wh, ww = window
+        sh, sw = stride or (wh // 2, ww // 2)
+        if wh > H or ww > W:
+            raise ValueError(f"window {window} larger than image {(H, W)}")
+
+        def starts(total, win, step):
+            s = list(range(0, max(total - win, 0) + 1, step))
+            if s[-1] != total - win:
+                s.append(total - win)
+            return s
+
+        h = self.cfg.hierarchy
+        logit_sum = np.zeros((B, H, W, h.total_classes), np.float32)
+        counts = np.zeros((1, H, W, 1), np.float32)
+        variables = jax.device_put(self.variables, replicated_sharding(self.mesh))
+        for y0 in starts(H, wh, sh):
+            for x0 in starts(W, ww, sw):
+                tile = np.ascontiguousarray(
+                    images_u8[:, y0 : y0 + wh, x0 : x0 + ww]
+                )
+                tile_d = jax.device_put(tile, batch_sharding(self.mesh))
+                _, logits = self._predict(variables, tile_d, (wh, ww))
+                logit_sum[:, y0 : y0 + wh, x0 : x0 + ww] += np.asarray(logits)
+                counts[:, y0 : y0 + wh, x0 : x0 + ww] += 1.0
+        logits = logit_sum / counts
+        out = {}
+        for lvl, (lo, hi) in zip(("fine", "coarse", "super"), h.level_slices):
+            out[lvl] = np.argmax(logits[..., lo:hi], axis=-1).astype(np.int32)
+        if consistent:
+            out["coarse"] = h.fine_to_coarse[out["fine"]].astype(np.int32)
+            if h.has_super:
+                out["super"] = h.fine_to_super[out["fine"]].astype(np.int32)
+        return out
+
     def predict_image(
         self, path: str, consistent: bool = False
     ) -> Tuple[Dict[str, np.ndarray], Image.Image]:
