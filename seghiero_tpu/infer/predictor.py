@@ -66,12 +66,19 @@ class Predictor:
                 self.cfg.transform.normalize_std,
             )
             out = self.model.apply(variables, images, train=False)
-            logits = resize_bilinear(out["logits"], out_hw)  # infer.py:298-300
+            # upsample + argmax in C-major layout: with the class axis in
+            # the TPU lane dimension the full-res tensors are padded to
+            # 128 lanes (~10× traffic for C≈15); see losses/fast.py.
+            lo = jnp.transpose(out["logits"], (0, 3, 1, 2))
+            B, C = lo.shape[:2]
+            logits = jax.image.resize(
+                lo, (B, C, out_hw[0], out_hw[1]), "linear", antialias=False
+            )  # infer.py:298-300
             preds = {
-                lvl: jnp.argmax(logits[..., lo:hi], axis=-1).astype(jnp.int32)
-                for lvl, (lo, hi) in slices.items()
+                lvl: jnp.argmax(logits[:, lo_:hi_], axis=1).astype(jnp.int32)
+                for lvl, (lo_, hi_) in slices.items()
             }
-            return preds, logits
+            return preds, logits  # logits in C-major [B, C, H, W]
 
         self._predict = jax.jit(_predict, static_argnums=(2,))
 
@@ -190,8 +197,8 @@ class Predictor:
             return s
 
         h = self.cfg.hierarchy
-        logit_sum = np.zeros((B, H, W, h.total_classes), np.float32)
-        counts = np.zeros((1, H, W, 1), np.float32)
+        logit_sum = np.zeros((B, h.total_classes, H, W), np.float32)
+        counts = np.zeros((1, 1, H, W), np.float32)
         variables = jax.device_put(self.variables, replicated_sharding(self.mesh))
         for y0 in starts(H, wh, sh):
             for x0 in starts(W, ww, sw):
@@ -200,12 +207,12 @@ class Predictor:
                 )
                 tile_d = jax.device_put(tile, batch_sharding(self.mesh))
                 _, logits = self._predict(variables, tile_d, (wh, ww))
-                logit_sum[:, y0 : y0 + wh, x0 : x0 + ww] += np.asarray(logits)
-                counts[:, y0 : y0 + wh, x0 : x0 + ww] += 1.0
+                logit_sum[:, :, y0 : y0 + wh, x0 : x0 + ww] += np.asarray(logits)
+                counts[:, :, y0 : y0 + wh, x0 : x0 + ww] += 1.0
         logits = logit_sum / counts
         out = {}
         for lvl, (lo, hi) in zip(("fine", "coarse", "super"), h.level_slices):
-            out[lvl] = np.argmax(logits[..., lo:hi], axis=-1).astype(np.int32)
+            out[lvl] = np.argmax(logits[:, lo:hi], axis=1).astype(np.int32)
         if consistent:
             out["coarse"] = h.fine_to_coarse[out["fine"]].astype(np.int32)
             if h.has_super:

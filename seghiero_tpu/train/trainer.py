@@ -519,9 +519,13 @@ class Trainer:
                 )
                 if is_best and self.verbose:
                     print(f"→ Saved new best model (val_loss {val['loss']:.4f})\n")
+            if self.verbose:
+                # final per-class IoU report (extension; reference has no mIoU)
+                _, table = self.evaluate(with_table=True)
+                print(table)
         return history
 
-    def evaluate(self) -> Dict[str, float]:
+    def evaluate(self, with_table: bool = False):
         h = self.cfg.hierarchy
         levels = {"fine": h.n_fine, "coarse": h.n_coarse}
         if h.has_super:
@@ -530,4 +534,9 @@ class Trainer:
         for batch in self.val_loader:
             out = self._eval_step(self.state, batch)
             acc.update(float(out["loss"]), jax.device_get(out["levels"]))
+        if with_table:
+            names = {"fine": self.cfg.fine_names, "coarse": self.cfg.coarse_names}
+            if h.has_super:
+                names["super"] = self.cfg.super_names
+            return acc.summary(), acc.iou_table(names)
         return acc.summary()
