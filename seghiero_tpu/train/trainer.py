@@ -158,7 +158,7 @@ def _forward_losses(
         aux_up = resize_bilinear(out["aux_logits"], (H, W))
         aux_loss = softmax_cross_entropy(aux_up, fine, divide_by="valid")
     loss = main_loss + cfg.training.aux_weight * aux_loss
-    return loss, main_loss, aux_loss, logits_full, new_batch_stats
+    return loss, main_loss, aux_loss, (logits, logits_full), new_batch_stats
 
 
 def make_train_step(
@@ -261,19 +261,28 @@ def make_eval_step(model: HieroSegmenter, composite, cfg: SegHieroConfig) -> Cal
 
     def eval_step(state: TrainState, batch: Dict):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        loss, main, aux, logits_full, _ = _forward_losses(
-            model, composite, cfg, variables, batch, state.step, train=False,
-            need_full_logits=True,
+        loss, main, aux, (logits_lo, logits_full), _ = _forward_losses(
+            model, composite, cfg, variables, batch, state.step, train=False
         )
+        if logits_full is None:
+            # metrics in C-major (same layout rationale as the predictor)
+            lo = jnp.transpose(logits_lo, (0, 3, 1, 2))
+            B, C = lo.shape[:2]
+            H, W = batch["fine"].shape[1:3]
+            logits_cm = jax.image.resize(
+                lo, (B, C, H, W), "linear", antialias=False
+            )
+        else:
+            logits_cm = jnp.transpose(logits_full, (0, 3, 1, 2))
         stats = {}
         level_labels = {"fine": batch["fine"], "coarse": batch.get("coarse")}
         if h.has_super:
             level_labels["super"] = batch.get("super")
-        for (lvl, (lo, hi)) in zip(level_labels, h.level_slices):
+        for (lvl, (lo_, hi_)) in zip(level_labels, h.level_slices):
             labels = level_labels[lvl]
-            pred = jnp.argmax(logits_full[..., lo:hi], axis=-1)
+            pred = jnp.argmax(logits_cm[:, lo_:hi_], axis=1)
             correct, valid = pixel_accuracy_counts(pred, labels, h.ignore_index)
-            cm = confusion_matrix(pred, labels, hi - lo, h.ignore_index)
+            cm = confusion_matrix(pred, labels, hi_ - lo_, h.ignore_index)
             stats[lvl] = {"correct": correct, "valid": valid, "cm": cm}
         return {"loss": loss, "levels": stats}
 
