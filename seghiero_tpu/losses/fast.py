@@ -117,8 +117,11 @@ def rmi_lower_bound_cmajor(
     oh_all, probs_masked, *, radius=3, use_float64=False
 ):
     """losses/rmi.py:rmi_lower_bound with [B, C, H, W] inputs (the
-    neighborhood-stack transpose is free in this layout)."""
-    compute_dtype = jnp.float64 if use_float64 else jnp.float32
+    neighborhood-stack transpose is free in this layout). Shares the
+    f32-safe numerics core (residual Grams, noise-aware jitter) — see
+    losses/rmi.py:_rmi_logdet_core."""
+    from seghiero_tpu.losses.rmi import _rmi_logdet_core
+
     half_d = radius * radius
     B, C, H, W = probs_masked.shape
     nh, nw = H - (radius - 1), W - (radius - 1)
@@ -131,28 +134,10 @@ def rmi_lower_bound_cmajor(
         ]
         return jnp.stack(views, axis=2).reshape(B, C, half_d, nh * nw)
 
-    # N-normalized formulation — see losses/rmi.py:rmi_lower_bound for
-    # the numerics rationale (exact rewrite, f32-safe at any resolution)
-    la = jax.lax.stop_gradient(nbhd(oh_all).astype(compute_dtype))
-    pr = nbhd(probs_masked).astype(compute_dtype)
-    n = la.shape[-1]
-    inv_sqrt_n = 1.0 / np.sqrt(n)
-    la = la * inv_sqrt_n
-    pr = pr * inv_sqrt_n
-    alpha_n = _POS_ALPHA / n
-    hi = jax.lax.Precision.HIGHEST
-    diag = jnp.eye(half_d, dtype=compute_dtype)
-    la_cov = jnp.einsum("bcin,bcjn->bcij", la, la, precision=hi)
-    pr_cov = jnp.einsum("bcin,bcjn->bcij", pr, pr, precision=hi)
-    la_pr = jnp.einsum("bcin,bcjn->bcij", la, pr, precision=hi)
-    pr_inv = jnp.linalg.inv(pr_cov + diag * alpha_n)
-    av = la_cov - jnp.einsum("bcij,bcjk,bclk->bcil", la_pr, pr_inv, la_pr, precision=hi)
-    av = 0.5 * (av + jnp.swapaxes(av, -1, -2))
-    chol = jnp.linalg.cholesky(av + diag * alpha_n)
-    logdet = 2.0 * jnp.sum(
-        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1) * np.sqrt(n) + 1e-8), -1
-    )
-    per_class = jnp.mean(0.5 * logdet, axis=0).astype(jnp.float32) / float(half_d)
+    la = jax.lax.stop_gradient(nbhd(oh_all))
+    pr = nbhd(probs_masked)
+    half = _rmi_logdet_core(la, pr, half_d, use_float64)
+    per_class = jnp.mean(half, axis=0) / float(half_d)
     return jnp.sum(per_class)
 
 

@@ -72,6 +72,69 @@ def _neighborhood_vectors(x: jax.Array, radius: int) -> jax.Array:
     return stacked.reshape(B, nh * nw, C, radius * radius).transpose(0, 2, 3, 1)
 
 
+def _rmi_logdet_core(la, pr, half_d: int, use_float64: bool) -> jax.Array:
+    """Shared RMI numerics: per-(batch, class) ``0.5·logdet`` of the
+    conditional covariance, [B, C].
+
+    f32-safe reformulation of rmi_hiera_triplet_loss.py:489-517. Three
+    layers of defense, all derived from hard failures at 512²:
+
+    1. N-normalization (exact rewrite): the reference's raw Gram entries
+       reach N = H·W ≈ 2.6e5 and rely on float64;
+       ``logdet(N·B + αI) = d·log N + logdet(B + α/N·I)`` keeps every
+       accumulated f32 value in ~[0, 1].
+    2. PSD by construction: instead of ``la_cov − la_pr·inv(pr_cov+αI)·
+       la_prᵀ`` (a cancellation whose PSD margin is below f32 noise, and
+       an LU inverse whose pivots can underflow — forward NaNs), compute
+       the RESIDUAL vectors ``r = la − W·pr`` with ``W = la_pr·
+       solve(pr_cov + jitter)`` and form ``appro_var = r·rᵀ`` — a Gram
+       matrix, PSD up to rounding regardless of conditioning.
+    3. noise-aware jitter: the reference's absolute α = 1e-3 becomes
+       α/N ≈ 4e-9 after normalization — BELOW the f32 noise floor for
+       the near-rank-1 matrices produced by smooth probability fields.
+       In f32 the jitter is floored at ``32·eps_f32 · mean(diag)``; with
+       ``use_float64`` (CPU oracle mode) the reference's exact α/N is
+       kept. Divergence in the ill-conditioned regime is inherent to
+       f32 and documented (docs/DESIGN.md).
+
+    ``default_matmul_precision("highest")`` additionally pins matmuls
+    inside solve/cholesky and their VJPs (bf16 MXU passes otherwise
+    break PSD in the fused backward program).
+    """
+    compute_dtype = jnp.float64 if use_float64 else jnp.float32
+    n = la.shape[-1]
+    with jax.default_matmul_precision("highest"):
+        la = la.astype(compute_dtype) * (1.0 / np.sqrt(n))
+        pr = pr.astype(compute_dtype) * (1.0 / np.sqrt(n))
+        alpha_n = _POS_ALPHA / n
+        eps_rel = 0.0 if use_float64 else 32 * np.finfo(np.float32).eps
+        diag = jnp.eye(half_d, dtype=compute_dtype)
+
+        la_cov = jnp.einsum("bcin,bcjn->bcij", la, la)
+        pr_cov = jnp.einsum("bcin,bcjn->bcij", pr, pr)
+        la_pr = jnp.einsum("bcin,bcjn->bcij", la, pr)
+
+        def jitter(m):
+            mean_diag = jnp.mean(jnp.diagonal(m, axis1=-2, axis2=-1), -1)
+            return jnp.maximum(alpha_n, eps_rel * mean_diag)[..., None, None]
+
+        m_pr = pr_cov + diag * jitter(pr_cov)
+        w = jnp.linalg.solve(m_pr, jnp.swapaxes(la_pr, -1, -2))  # [.., d, d]
+        r = la - jnp.einsum("bcji,bcjn->bcin", w, pr)  # residual vectors
+        appro_var = jnp.einsum("bcin,bcjn->bcij", r, r)  # Gram: PSD
+        appro_var = 0.5 * (appro_var + jnp.swapaxes(appro_var, -1, -2))
+        del la_cov  # implicit in the residual Gram
+
+        chol = jnp.linalg.cholesky(appro_var + diag * jitter(appro_var))
+        # reference guard log(diag + 1e-8) applies at the unnormalized
+        # scale: diag_unnorm = sqrt(N)·diag_norm
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1) * np.sqrt(n) + 1e-8),
+            axis=-1,
+        )  # [B, C]
+        return (0.5 * logdet).astype(jnp.float32)
+
+
 def rmi_lower_bound(
     onehot: jax.Array,  # [B, H, W, C] one-hot targets (zeros at ignored px)
     probs: jax.Array,  # [B, H, W, C] masked sigmoid probabilities
@@ -81,51 +144,14 @@ def rmi_lower_bound(
 ) -> jax.Array:
     """Per-class RMI lower-bound loss, summed over classes (scalar).
 
-    Follows rmi_hiera_triplet_loss.py:489-517: batched 9×9 covariances,
-    explicit inverse with +αI jitter, log-det via Cholesky with the
-    reference's ``log(diag + 1e-8)`` guard, mean over batch, /r², sum.
+    Follows rmi_hiera_triplet_loss.py:489-517 (see ``_rmi_logdet_core``
+    for the f32-safe numerics).
     """
-    compute_dtype = jnp.float64 if use_float64 else jnp.float32
     half_d = radius * radius
-
-    la = _neighborhood_vectors(onehot, radius).astype(compute_dtype)  # [B,C,d,N]
-    pr = _neighborhood_vectors(probs, radius).astype(compute_dtype)
-    la = jax.lax.stop_gradient(la)  # targets carry no gradient (:500)
-    n = la.shape[-1]
-
-    # TPU numerics, two layers of defense (both exact rewrites):
-    #  1. f32 matmuls default to bf16-mantissa MXU passes — force
-    #     full-f32 accumulation (matrices are only r²×r²).
-    #  2. the reference computes raw Gram matrices with entries up to
-    #     N = H·W (≈2.6e5 at 512²) and relies on float64; in f32 the
-    #     la_cov − correction cancellation NaNs the Cholesky. Factor N
-    #     out: with B = appro_var/N,
-    #       logdet(appro_var + αI) = d·log N + logdet(B + (α/N)·I),
-    #     and every accumulated entry stays in ~[0, 1].
-    hi = jax.lax.Precision.HIGHEST
-    inv_sqrt_n = 1.0 / np.sqrt(n)
-    la = la * inv_sqrt_n
-    pr = pr * inv_sqrt_n
-    alpha_n = _POS_ALPHA / n
-    diag = jnp.eye(half_d, dtype=compute_dtype)
-    la_cov = jnp.einsum("bcin,bcjn->bcij", la, la, precision=hi)
-    pr_cov = jnp.einsum("bcin,bcjn->bcij", pr, pr, precision=hi)
-    la_pr_cov = jnp.einsum("bcin,bcjn->bcij", la, pr, precision=hi)
-    pr_cov_inv = jnp.linalg.inv(pr_cov + diag * alpha_n)
-    appro_var = la_cov - jnp.einsum(
-        "bcij,bcjk,bclk->bcil", la_pr_cov, pr_cov_inv, la_pr_cov, precision=hi
-    )
-    # symmetrize: inv() round-off breaks exact symmetry before Cholesky
-    appro_var = 0.5 * (appro_var + jnp.swapaxes(appro_var, -1, -2))
-
-    chol = jnp.linalg.cholesky(appro_var + diag * alpha_n)
-    # reference guard log(diag + 1e-8) is applied at the unnormalized
-    # scale: diag_unnorm = sqrt(N)·diag_norm
-    sqrt_n = np.sqrt(n)
-    logdet = 2.0 * jnp.sum(
-        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1) * sqrt_n + 1e-8), axis=-1
-    )  # [B, C]
-    rmi_per_class = jnp.mean(0.5 * logdet, axis=0).astype(jnp.float32) / float(half_d)
+    la = jax.lax.stop_gradient(_neighborhood_vectors(onehot, radius))  # :500
+    pr = _neighborhood_vectors(probs, radius)
+    half = _rmi_logdet_core(la, pr, half_d, use_float64)
+    rmi_per_class = jnp.mean(half, axis=0) / float(half_d)
     return jnp.sum(rmi_per_class)
 
 

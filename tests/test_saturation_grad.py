@@ -68,6 +68,40 @@ def test_focal_grad_finite_under_saturation(rng, classes_2level):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_rmi_grad_finite_on_smooth_fields_traced_labels(rng, classes_3level):
+    """Regression: the RMI backward NaN'd when (a) labels were traced
+    arguments (not baked constants) and (b) the probability fields were
+    smooth — the 9 shifted neighborhood views become near-rank-1 and the
+    reference's α/N jitter sits below the f32 noise floor. The residual-
+    Gram + noise-aware-jitter core (losses/rmi.py:_rmi_logdet_core) must
+    keep value and grads finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from seghiero_tpu.losses.fast import FastRMIHieraTripletLoss
+
+    h = Hierarchy.from_class_config(classes_3level)
+    B, H, W = 2, 64, 64
+    # smooth low-frequency logits → highly correlated neighborhoods
+    base = rng.standard_normal((B, 4, 4, h.total_classes)).astype(np.float32)
+    lo = jax.image.resize(jnp.asarray(base), (B, 16, 16, h.total_classes), "linear")
+    emb = rng.standard_normal((B, 2, 2, 8)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    labels = rng.integers(0, h.n_fine, (B, H, W)).astype(np.int32)
+
+    fn = FastRMIHieraTripletLoss(h)
+
+    @jax.jit
+    def vg(logits, lab):
+        return jax.value_and_grad(
+            lambda x: fn(jnp.array(0), emb, x, x, lab)
+        )(logits)
+
+    v, g = vg(lo, jnp.asarray(labels))  # labels traced, not constants
+    assert np.isfinite(float(v))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_composite_2level_grad_finite_under_saturation(rng, classes_2level):
     h = Hierarchy.from_class_config(classes_2level)
     fn = HieraTripletLoss(h)
