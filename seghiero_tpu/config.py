@@ -107,6 +107,10 @@ class ModelConfig:
     # backbone output stride: 32 (reference parity) | 16 | 8 (dilated
     # stages, the DeepLab configuration — better mIoU, more compute)
     output_stride: int = 32
+    # stem evaluation: "conv7" (plain 7×7/s2) | "s2d" (space-to-depth
+    # rewrite — mathematically identical, ~MXU-rate instead of ~2 TFLOP/s;
+    # same parameter tree, so checkpoints work in either mode)
+    stem: str = "s2d"
     in_channels: int = 2048
     c1_in_channels: int = 256
     c1_channels: int = 48
@@ -135,12 +139,16 @@ class ModelConfig:
         output_stride = int(d.get("output_stride", 32))
         if output_stride not in (8, 16, 32):
             raise ValueError(f"model.output_stride must be 8|16|32, got {output_stride}")
+        stem = str(d.get("stem", "s2d"))
+        if stem not in ("conv7", "s2d"):
+            raise ValueError(f"model.stem must be conv7|s2d, got {stem}")
         return cls(
             pretrained_model=name,
             depth=depth,
             pretrained=d.get("pretrained", False),
             head=head,
             output_stride=output_stride,
+            stem=stem,
             in_channels=int(d.get("in_channels", c4)),
             c1_in_channels=int(d.get("c1_in_channels", c1)),
             c1_channels=int(d.get("c1_channels", 48)),
@@ -159,6 +167,10 @@ class TrainingConfig:
     lr: float = 1e-3
     fine_weight: float = 1.0
     num_workers: int = 4
+    # input loader backend: "thread" (in-process thread pool + prefetch)
+    # or "grain" (grain.DataLoader — deterministic multi-process workers,
+    # record sharding across hosts; see data/pipeline.py GrainBatchLoader)
+    loader: str = "thread"
     momentum: float = 0.9
     weight_decay: float = 1e-4
     aux_weight: float = 0.4  # train.py:315
@@ -166,6 +178,10 @@ class TrainingConfig:
     rmi_pool_way: int = 0
     rmi_pool_size: int = 3
     rmi_pool_stride: int = 3
+    # RMI Gram accumulation: "auto" streams over row chunks when the
+    # neighborhood tensor would exceed ~256 MB (losses/rmi.py:
+    # rmi_logdet_streaming_cmajor); "on"/"off" force it
+    rmi_streaming: str = "auto"
     triplet_schedule_unit: str = "step"
     seed: int = 0
     log_every: int = 50
@@ -175,6 +191,11 @@ class TrainingConfig:
     #         local BN batches, triplet gate = every replica has
     #         triplets (pmin collective), grads pmean'd.
     parallel_mode: str = "pjit"
+    # ddp mode only: compute BatchNorm statistics across replicas
+    # (sync-BN, a psum over the data axis riding ICI) instead of the
+    # reference's per-device BN. No effect in pjit mode, which already
+    # has global-batch BN semantics.
+    sync_bn: bool = False
     # extension: {"type": "poly"|"cosine"|"constant", "power": 0.9,
     # "warmup_steps": 0, "end_lr": 0.0}; reference lr is constant
     lr_schedule: Optional[Dict[str, Any]] = None
@@ -212,6 +233,10 @@ class TrainingConfig:
             raise ValueError("triplet_schedule_unit must be 'step' or 'epoch'")
         if out.parallel_mode not in ("pjit", "ddp"):
             raise ValueError("parallel_mode must be 'pjit' or 'ddp'")
+        if out.rmi_streaming not in ("auto", "on", "off"):
+            raise ValueError("rmi_streaming must be 'auto', 'on' or 'off'")
+        if out.loader not in ("thread", "grain"):
+            raise ValueError("loader must be 'thread' or 'grain'")
         return out
 
 

@@ -161,3 +161,105 @@ class BatchLoader:
         if self.sharding is None:
             return batch
         return jax.device_put(batch, self.sharding)
+
+
+class GrainBatchLoader:
+    """Grain-backed loader (``training.loader: "grain"``).
+
+    Same interface and batch contract as ``BatchLoader``, but the index
+    sampling, record sharding and worker parallelism are delegated to
+    `grain` for *deterministic multi-process / multi-host* input:
+
+      * records are sharded across JAX processes with
+        ``grain.ShardOptions(process_index, process_count)`` — each host
+        reads only its slice, the per-epoch permutation is identical on
+        every host (seeded sampler), and worker processes (not threads)
+        do the decode, sidestepping the GIL for CPU-heavy transforms;
+      * per-epoch reshuffling matches the ``set_epoch`` protocol: the
+        sampler is rebuilt each epoch with seed ``[seed, epoch]`` and the
+        dataset's own epoch-seeded augmentation stream is advanced before
+        workers fork.
+
+    Our datasets are stateless per ``(seed, epoch, idx)`` so records can
+    be fetched from any process in any order. On a single host this
+    yields the same global-batch semantics as ``BatchLoader``.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+        sharding=None,
+        prefetch: int = 2,
+        num_workers: int = 0,
+    ):
+        import grain.python as grain  # deferred: optional backend
+
+        self._grain = grain
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.sharding = sharding
+        self.num_workers = max(0, num_workers)
+        self.epoch = 0
+        self.proc_count = jax.process_count()
+        self.proc_index = jax.process_index()
+        if batch_size % self.proc_count:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by process count "
+                f"{self.proc_count} for the grain loader"
+            )
+        self.host_batch = batch_size // self.proc_count
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.proc_count
+        if self.drop_last:
+            return n // self.host_batch
+        return (n + self.host_batch - 1) // self.host_batch
+
+    def __iter__(self):
+        grain = self._grain
+        sampler = grain.IndexSampler(
+            num_records=len(self.dataset),
+            shard_options=grain.ShardOptions(
+                shard_index=self.proc_index,
+                shard_count=self.proc_count,
+                drop_remainder=True,
+            ),
+            shuffle=self.shuffle,
+            seed=self.seed * 100_003 + self.epoch,
+            num_epochs=1,
+        )
+        loader = grain.DataLoader(
+            data_source=self.dataset,
+            sampler=sampler,
+            operations=[
+                grain.Batch(self.host_batch, drop_remainder=self.drop_last)
+            ],
+            worker_count=self.num_workers,
+        )
+        for batch in loader:
+            batch = dict(batch)
+            short = self.host_batch - next(iter(batch.values())).shape[0]
+            if short > 0:  # eval-tail padding, same contract as BatchLoader
+                for k, v in batch.items():
+                    filler = np.repeat(v[:1], short, axis=0)
+                    if k != "image":
+                        filler = np.full_like(filler, 255)
+                    batch[k] = np.concatenate([v, filler], axis=0)
+            yield self._put(batch)
+
+    def _put(self, batch: Dict[str, np.ndarray]):
+        if self.sharding is None:
+            return batch
+        return jax.device_put(batch, self.sharding)

@@ -114,29 +114,47 @@ def hiera_bce_three_level_cmajor(lf, t_f, t_m, t_h, h: Hierarchy, clip_min=_CLIP
 
 
 def rmi_lower_bound_cmajor(
-    oh_all, probs_masked, *, radius=3, use_float64=False
+    oh_all, probs_masked, *, radius=3, use_float64=False, streaming="auto"
 ):
     """losses/rmi.py:rmi_lower_bound with [B, C, H, W] inputs (the
     neighborhood-stack transpose is free in this layout). Shares the
     f32-safe numerics core (residual Grams, noise-aware jitter) — see
-    losses/rmi.py:_rmi_logdet_core."""
-    from seghiero_tpu.losses.rmi import _rmi_logdet_core
+    losses/rmi.py:_rmi_logdet_core.
+
+    ``streaming``: "on" accumulates the 9×9 Grams over row-chunks
+    (``rmi_logdet_streaming_cmajor``) instead of materializing the
+    [B, C, r², N] neighborhood tensor; "auto" picks streaming when that
+    tensor would exceed ~256 MB (512²-scale inputs)."""
+    from seghiero_tpu.losses.rmi import (
+        _pick_chunk_rows,
+        _rmi_logdet_core,
+        rmi_logdet_streaming_cmajor,
+    )
 
     half_d = radius * radius
     B, C, H, W = probs_masked.shape
     nh, nw = H - (radius - 1), W - (radius - 1)
 
-    def nbhd(x):
-        views = [
-            x[:, :, y : y + nh, xx : xx + nw]
-            for y in range(radius)
-            for xx in range(radius)
-        ]
-        return jnp.stack(views, axis=2).reshape(B, C, half_d, nh * nw)
+    use_streaming = streaming == "on" or (
+        streaming == "auto" and B * C * half_d * nh * nw * 4 > 256 * 2**20
+    )
+    if use_streaming and _pick_chunk_rows(nh) >= 8:
+        half = rmi_logdet_streaming_cmajor(
+            oh_all, probs_masked, radius=radius, use_float64=use_float64
+        )
+    else:
 
-    la = jax.lax.stop_gradient(nbhd(oh_all))
-    pr = nbhd(probs_masked)
-    half = _rmi_logdet_core(la, pr, half_d, use_float64)
+        def nbhd(x):
+            views = [
+                x[:, :, y : y + nh, xx : xx + nw]
+                for y in range(radius)
+                for xx in range(radius)
+            ]
+            return jnp.stack(views, axis=2).reshape(B, C, half_d, nh * nw)
+
+        la = jax.lax.stop_gradient(nbhd(oh_all))
+        pr = nbhd(probs_masked)
+        half = _rmi_logdet_core(la, pr, half_d, use_float64)
     per_class = jnp.mean(half, axis=0) / float(half_d)
     return jnp.sum(per_class)
 
@@ -206,7 +224,8 @@ class FastRMIHieraTripletLoss:
 
     def __init__(self, hierarchy, rmi_radius=3, loss_weight_lambda=0.5,
                  loss_weight=1.0, upper_ids=None, lower_ids=None,
-                 use_float64=False, axis_name: Optional[str] = None):
+                 use_float64=False, axis_name: Optional[str] = None,
+                 rmi_streaming: str = "auto"):
         self.h = hierarchy
         self.rmi_radius = rmi_radius
         self.loss_weight_lambda = loss_weight_lambda
@@ -215,6 +234,7 @@ class FastRMIHieraTripletLoss:
         self.lower_ids = lower_ids
         self.use_float64 = use_float64
         self.axis_name = axis_name
+        self.rmi_streaming = rmi_streaming
 
     @property
     def schedule_total_steps(self):
@@ -253,6 +273,7 @@ class FastRMIHieraTripletLoss:
         rmi = rmi_lower_bound_cmajor(
             oh_all, probs * valid_all + _CLIP_MIN,
             radius=self.rmi_radius, use_float64=self.use_float64,
+            streaming=self.rmi_streaming,
         )
         loss = self.loss_weight_lambda * rmi + 0.5 * hiera
         loss += _ce_cmajor(lf[:, :nf], t_f, h.ignore_index)

@@ -61,12 +61,13 @@ class ConvBNReLU(nn.Module):
     kernel: int = 3
     dilation: int = 1
     dtype: Any = jnp.float32
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = conv(self.features, self.kernel, dilation=self.dilation,
                  dtype=self.dtype, name="conv")(x)
-        x = batch_norm(train, self.dtype, name="bn")(x)
+        x = batch_norm(train, self.dtype, name="bn", axis_name=self.bn_axis)(x)
         return nn.relu(x)
 
 
@@ -84,6 +85,7 @@ class ASPPHead(nn.Module):
     proj_type: str = "convmlp"
     in_index: int = -1
     dtype: Any = jnp.float32
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool):
@@ -91,25 +93,29 @@ class ASPPHead(nn.Module):
         embedding = None
         if self.with_projection:
             embedding = ProjectionHead(
-                self.proj_dim, self.proj_type, dtype=self.dtype, name="proj_head"
+                self.proj_dim, self.proj_type, dtype=self.dtype,
+                bn_axis=self.bn_axis, name="proj_head"
             )(x, train)
 
         H, W = x.shape[1:3]
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        imgp = ConvBNReLU(self.channels, 1, dtype=self.dtype, name="image_pool")(
+        imgp = ConvBNReLU(self.channels, 1, dtype=self.dtype,
+                   bn_axis=self.bn_axis, name="image_pool")(
             pooled, train
         )
         branches = [jnp.broadcast_to(imgp, (x.shape[0], H, W, self.channels))]
         branches.append(
-            ConvBNReLU(self.channels, 1, dtype=self.dtype, name="branch0")(x, train)
+            ConvBNReLU(self.channels, 1, dtype=self.dtype,
+                       bn_axis=self.bn_axis, name="branch0")(x, train)
         )
         for i, d in enumerate(self.dilations[1:], start=1):
             branches.append(
                 ConvBNReLU(self.channels, 3, dilation=d, dtype=self.dtype,
-                           name=f"branch{i}")(x, train)
+                           bn_axis=self.bn_axis, name=f"branch{i}")(x, train)
             )
         y = jnp.concatenate(branches, axis=-1)
-        y = ConvBNReLU(self.channels, 3, dtype=self.dtype, name="bottleneck")(y, train)
+        y = ConvBNReLU(self.channels, 3, dtype=self.dtype,
+                       bn_axis=self.bn_axis, name="bottleneck")(y, train)
         if self.dropout_rate and train:
             y = nn.Dropout(self.dropout_rate, deterministic=False)(y)
         logits = nn.Conv(

@@ -39,6 +39,7 @@ class ProjectionHead(nn.Module):
     proj_dim: int = 256
     proj_type: str = "convmlp"
     dtype: Any = jnp.float32
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -47,7 +48,7 @@ class ProjectionHead(nn.Module):
         elif self.proj_type == "convmlp":
             dim_in = x.shape[-1]
             y = conv(dim_in, 1, dtype=self.dtype, name="fc1")(x)
-            y = batch_norm(train, self.dtype, name="bn")(y)
+            y = batch_norm(train, self.dtype, name="bn", axis_name=self.bn_axis)(y)
             y = nn.relu(y)
             y = conv(self.proj_dim, 1, dtype=self.dtype, name="fc2")(y)
         else:
@@ -71,6 +72,7 @@ class DepthwiseSeparableConv(nn.Module):
     kernel: int = 3
     dilation: int = 1
     dtype: Any = jnp.float32
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -86,10 +88,10 @@ class DepthwiseSeparableConv(nn.Module):
             dtype=self.dtype,
             name="depthwise",
         )(x)
-        y = batch_norm(train, self.dtype, name="bn_dw")(y)
+        y = batch_norm(train, self.dtype, name="bn_dw", axis_name=self.bn_axis)(y)
         y = nn.relu(y)
         y = conv(self.features, 1, dtype=self.dtype, name="pointwise")(y)
-        y = batch_norm(train, self.dtype, name="bn_pw")(y)
+        y = batch_norm(train, self.dtype, name="bn_pw", axis_name=self.bn_axis)(y)
         return nn.relu(y)
 
 
@@ -102,6 +104,7 @@ class DepthwiseSeparableASPP(nn.Module):
     channels: int
     dilations: Sequence[int] = (1, 12, 24, 36)
     dtype: Any = jnp.float32
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -109,18 +112,19 @@ class DepthwiseSeparableASPP(nn.Module):
         # image-pool branch: GAP → 1×1 conv → BN → ReLU → broadcast
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
         imgp = conv(self.channels, 1, dtype=self.dtype, name="image_pool_conv")(pooled)
-        imgp = batch_norm(train, self.dtype, name="image_pool_bn")(imgp)
+        imgp = batch_norm(train, self.dtype, name="image_pool_bn", axis_name=self.bn_axis)(imgp)
         imgp = nn.relu(imgp)
         imgp = jnp.broadcast_to(imgp, (x.shape[0], H, W, self.channels))
 
         branches = [imgp]
         y = conv(self.channels, 1, dtype=self.dtype, name="branch0_conv")(x)
-        y = batch_norm(train, self.dtype, name="branch0_bn")(y)
+        y = batch_norm(train, self.dtype, name="branch0_bn", axis_name=self.bn_axis)(y)
         branches.append(nn.relu(y))
         for i, d in enumerate(self.dilations[1:], start=1):
             branches.append(
                 DepthwiseSeparableConv(
-                    self.channels, 3, dilation=d, dtype=self.dtype, name=f"branch{i}"
+                    self.channels, 3, dilation=d, dtype=self.dtype,
+                    bn_axis=self.bn_axis, name=f"branch{i}"
                 )(x, train)
             )
         return jnp.concatenate(branches, axis=-1)
@@ -142,34 +146,39 @@ class SepASPPContrastHead(nn.Module):
     proj_type: str = "convmlp"
     use_c1_skip: bool = True
     dtype: Any = jnp.float32
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool):
         c1, c4 = feats[0], feats[-1]
 
         embedding = ProjectionHead(
-            self.proj_dim, self.proj_type, dtype=self.dtype, name="proj_head"
+            self.proj_dim, self.proj_type, dtype=self.dtype,
+            bn_axis=self.bn_axis, name="proj_head"
         )(c4, train)
 
         y = DepthwiseSeparableASPP(
-            self.aspp_channels, self.dilations, dtype=self.dtype, name="aspp"
+            self.aspp_channels, self.dilations, dtype=self.dtype,
+            bn_axis=self.bn_axis, name="aspp"
         )(c4, train)
         y = conv(self.aspp_channels, 1, dtype=self.dtype, name="bottleneck_conv")(y)
-        y = batch_norm(train, self.dtype, name="bottleneck_bn")(y)
+        y = batch_norm(train, self.dtype, name="bottleneck_bn", axis_name=self.bn_axis)(y)
         y = nn.relu(y)
 
         if self.use_c1_skip:
             skip = conv(self.c1_channels, 1, dtype=self.dtype, name="c1_conv")(c1)
-            skip = batch_norm(train, self.dtype, name="c1_bn")(skip)
+            skip = batch_norm(train, self.dtype, name="c1_bn", axis_name=self.bn_axis)(skip)
             skip = nn.relu(skip)
             y = resize_bilinear(y.astype(jnp.float32), c1.shape[1:3]).astype(self.dtype)
             y = jnp.concatenate([y, skip], axis=-1)
 
         y = DepthwiseSeparableConv(
-            self.aspp_channels, 3, dtype=self.dtype, name="sep_bottleneck0"
+            self.aspp_channels, 3, dtype=self.dtype,
+            bn_axis=self.bn_axis, name="sep_bottleneck0"
         )(y, train)
         y = DepthwiseSeparableConv(
-            self.aspp_channels, 3, dtype=self.dtype, name="sep_bottleneck1"
+            self.aspp_channels, 3, dtype=self.dtype,
+            bn_axis=self.bn_axis, name="sep_bottleneck1"
         )(y, train)
 
         logits = nn.Conv(
@@ -188,9 +197,10 @@ class AuxHead(nn.Module):
 
     n_fine: int
     dtype: Any = jnp.float32
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, c3, train: bool):
         y = conv(self.n_fine, 1, dtype=self.dtype, name="conv")(c3)
-        y = batch_norm(train, self.dtype, name="bn")(y)
+        y = batch_norm(train, self.dtype, name="bn", axis_name=self.bn_axis)(y)
         return nn.relu(y).astype(jnp.float32)

@@ -30,6 +30,7 @@ class HieroSegmenter(nn.Module):
     n_fine: int
     depth: int = 101
     output_stride: int = 32
+    stem: str = "conv7"
     head_type: str = "sep_aspp_contrast"
     c1_channels: int = 48
     aspp_channels: int = 512
@@ -38,11 +39,19 @@ class HieroSegmenter(nn.Module):
     proj_type: str = "convmlp"
     with_aux: bool = True
     dtype: Any = jnp.float32
+    # mesh axis name for cross-replica (sync) BatchNorm inside shard_map'd
+    # ddp training; None = batch-local statistics
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
         feats = ResNetBackbone(
-            self.depth, self.output_stride, dtype=self.dtype, name="backbone"
+            self.depth,
+            self.output_stride,
+            stem=self.stem,
+            dtype=self.dtype,
+            bn_axis=self.bn_axis,
+            name="backbone",
         )(images, train)
         if self.head_type == "aspp":
             from seghiero_tpu.models.decode_heads import ASPPHead
@@ -55,6 +64,7 @@ class HieroSegmenter(nn.Module):
                 proj_dim=self.proj_dim,
                 proj_type=self.proj_type,
                 dtype=self.dtype,
+                bn_axis=self.bn_axis,
                 name="head",
             )(feats, train)
         else:
@@ -66,18 +76,24 @@ class HieroSegmenter(nn.Module):
                 proj_dim=self.proj_dim,
                 proj_type=self.proj_type,
                 dtype=self.dtype,
+                bn_axis=self.bn_axis,
                 name="head",
             )(feats, train)
         out = {"logits": logits, "embedding": embedding}
         if self.with_aux:
-            out["aux_logits"] = AuxHead(self.n_fine, dtype=self.dtype, name="aux_head")(
-                feats[2], train
-            )
+            out["aux_logits"] = AuxHead(
+                self.n_fine, dtype=self.dtype, bn_axis=self.bn_axis, name="aux_head"
+            )(feats[2], train)
         return out
 
 
-def build_model(cfg: SegHieroConfig, with_aux: bool = True) -> HieroSegmenter:
-    """Model from a validated config (mirrors train.py:154-173 defaults)."""
+def build_model(
+    cfg: SegHieroConfig, with_aux: bool = True, bn_axis: Any = None
+) -> HieroSegmenter:
+    """Model from a validated config (mirrors train.py:154-173 defaults).
+
+    ``bn_axis``: mesh axis for sync-BN — only meaningful for apply calls
+    inside a ``shard_map`` over that axis (trainer ddp mode)."""
     m: ModelConfig = cfg.model
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[m.dtype]
     return HieroSegmenter(
@@ -85,6 +101,7 @@ def build_model(cfg: SegHieroConfig, with_aux: bool = True) -> HieroSegmenter:
         n_fine=cfg.hierarchy.n_fine,
         depth=m.depth,
         output_stride=m.output_stride,
+        stem=m.stem,
         head_type=m.head,
         c1_channels=m.c1_channels,
         aspp_channels=m.aspp_channels,
@@ -93,4 +110,5 @@ def build_model(cfg: SegHieroConfig, with_aux: bool = True) -> HieroSegmenter:
         proj_type=m.proj_type,
         with_aux=with_aux,
         dtype=dtype,
+        bn_axis=bn_axis,
     )

@@ -83,6 +83,7 @@ def make_composite_loss(cfg: SegHieroConfig, axis_name: Optional[str] = None):
                 loss_weight_lambda=t.fine_weight,
                 loss_weight=1.0,
                 axis_name=axis_name,
+                rmi_streaming=t.rmi_streaming,
             )
         return FastHieraTripletLoss(
             h,
@@ -323,7 +324,11 @@ class Trainer:
         self.train_ds = build_dataset(cfg, "train", seed=cfg.training.seed)
         self.val_ds = build_dataset(cfg, "val", seed=cfg.training.seed)
         bsh = batch_sharding(self.mesh)
-        self.train_loader = BatchLoader(
+        if cfg.training.loader == "grain":
+            from seghiero_tpu.data.pipeline import GrainBatchLoader as LoaderCls
+        else:
+            LoaderCls = BatchLoader
+        self.train_loader = LoaderCls(
             self.train_ds,
             cfg.training.batch_size,
             shuffle=True,
@@ -332,7 +337,7 @@ class Trainer:
             sharding=bsh,
             num_workers=cfg.training.num_workers,
         )
-        self.val_loader = BatchLoader(
+        self.val_loader = LoaderCls(
             self.val_ds,
             cfg.training.batch_size,
             shuffle=False,
@@ -368,9 +373,17 @@ class Trainer:
         donate = (0,) if cfg.training.donate_state else ()
         if cfg.training.parallel_mode == "ddp" and self.mesh.shape[DATA_AXIS] >= 1:
             ddp_composite = make_composite_loss(cfg, axis_name=DATA_AXIS)
+            # sync_bn: cross-replica BN stats (psum over the data axis)
+            # instead of the reference's per-device BN — same param tree,
+            # so checkpoints interchange freely
+            ddp_model = (
+                build_model(cfg, bn_axis=DATA_AXIS)
+                if cfg.training.sync_bn
+                else self.model
+            )
             self._train_step = jax.jit(
                 make_train_step_ddp(
-                    self.model, ddp_composite, self.cfg, self.tx, self.mesh
+                    ddp_model, ddp_composite, self.cfg, self.tx, self.mesh
                 ),
                 in_shardings=(rep, bshard, None),
                 out_shardings=(rep, rep),

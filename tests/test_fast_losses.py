@@ -54,6 +54,68 @@ def test_fast_3level_matches_parity(rng, classes_3level):
     np.testing.assert_allclose(fast, ref, rtol=5e-5)
 
 
+def test_rmi_streaming_matches_materialized(rng):
+    """Chunked-Gram RMI (rmi_logdet_streaming_cmajor, forced to 4 row
+    chunks) ≡ materialized core: forward values and gradients."""
+    import jax
+
+    from seghiero_tpu.losses.rmi import (
+        _rmi_logdet_core,
+        rmi_logdet_streaming_cmajor,
+    )
+
+    B, C, H, W = 2, 6, 34, 26  # nh = 32 → rows=8 gives 4 chunks
+    oh = (rng.integers(0, 2, (B, C, H, W))).astype(np.float32)
+    logits = rng.standard_normal((B, C, H, W)).astype(np.float32)
+    radius, half_d = 3, 9
+    nh, nw = H - 2, W - 2
+
+    def nbhd(x):
+        views = [
+            x[:, :, y : y + nh, xx : xx + nw]
+            for y in range(radius)
+            for xx in range(radius)
+        ]
+        return jnp.stack(views, axis=2).reshape(B, C, half_d, nh * nw)
+
+    def loss_mat(lg):
+        pr = jax.nn.sigmoid(lg) + 1e-6
+        la = jax.lax.stop_gradient(nbhd(jnp.asarray(oh)))
+        return jnp.sum(_rmi_logdet_core(la, nbhd(pr), half_d, False))
+
+    def loss_str(lg):
+        pr = jax.nn.sigmoid(lg) + 1e-6
+        return jnp.sum(
+            rmi_logdet_streaming_cmajor(
+                jnp.asarray(oh), pr, radius=radius, target_rows=8
+            )
+        )
+
+    lg = jnp.asarray(logits)
+    v_mat, g_mat = jax.value_and_grad(loss_mat)(lg)
+    v_str, g_str = jax.value_and_grad(loss_str)(lg)
+    np.testing.assert_allclose(float(v_str), float(v_mat), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_str), np.asarray(g_mat), rtol=5e-3, atol=1e-5
+    )
+
+
+def test_fast_3level_streaming_on_matches_off(rng, classes_3level):
+    h = Hierarchy.from_class_config(classes_3level)
+    lo, emb, labels = _inputs(rng, h, H=32, W=32)
+    off = float(
+        FastRMIHieraTripletLoss(h, rmi_streaming="off")(
+            jnp.array(0), emb, lo, lo, labels
+        )
+    )
+    on = float(
+        FastRMIHieraTripletLoss(h, rmi_streaming="on")(
+            jnp.array(0), emb, lo, lo, labels
+        )
+    )
+    np.testing.assert_allclose(on, off, rtol=1e-4)
+
+
 def test_aux_ce_fast_matches_parity(rng, classes_2level):
     h = Hierarchy.from_class_config(classes_2level)
     B, H, W = 2, 64, 64

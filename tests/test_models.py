@@ -107,6 +107,42 @@ def test_stem_matches_torch_padding(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_s2d_stem_matches_conv7(rng):
+    """space-to-depth stem rewrite is mathematically identical to the
+    plain 7×7/s2 conv (models/resnet.py StemConv docstring derivation)."""
+    from seghiero_tpu.models.resnet import StemConv
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 48, 3)).astype(np.float32))
+    mod7 = StemConv(mode="conv7")
+    vars_ = mod7.init(jax.random.key(3), x)
+    y7 = mod7.apply(vars_, x)
+    ys = StemConv(mode="s2d").apply(vars_, x)  # same param tree
+    assert ys.shape == y7.shape == (2, 16, 24, 64)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(y7), rtol=1e-4, atol=1e-5)
+
+
+def test_s2d_stem_odd_input_falls_back(rng):
+    from seghiero_tpu.models.resnet import StemConv
+
+    x = jnp.asarray(rng.standard_normal((1, 33, 33, 3)).astype(np.float32))
+    mod = StemConv(mode="s2d")
+    vars_ = mod.init(jax.random.key(3), x)
+    y = mod.apply(vars_, x)
+    y7 = StemConv(mode="conv7").apply(vars_, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y7))
+
+
+def test_backbone_stem_modes_same_params_same_output(rng):
+    """Full backbone: checkpoints interchange between stem modes."""
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    plain = ResNetBackbone(depth=18, stem="conv7")
+    vars_ = plain.init(jax.random.key(0), x, train=False)
+    outs7 = plain.apply(vars_, x, train=False)
+    outss = ResNetBackbone(depth=18, stem="s2d").apply(vars_, x, train=False)
+    for a, b in zip(outs7, outss):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
 def test_head_numeric_parity_with_reference(rng):
     """Convert a randomly-initialized reference head's weights and compare
     full forward outputs (eval mode)."""

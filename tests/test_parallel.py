@@ -47,6 +47,41 @@ def test_ddp_mode_trains(classes_2level, tmp_path):
     assert np.isfinite(history[0]["val_loss"])
 
 
+def test_ddp_sync_bn_matches_global_batch_stats(classes_2level, tmp_path):
+    """ddp + sync_bn computes BN statistics over the GLOBAL batch: the
+    stem BN's updated running stats must match pjit mode (global-batch
+    semantics) on the same batch, while plain ddp (local BN) must differ
+    in the running variance (mean-of-local-vars ≠ global var)."""
+    from tests.test_train_e2e import tiny_config
+    from seghiero_tpu.train.trainer import Trainer
+
+    stem_var = {}
+    for key, extra in {
+        "pjit": {"parallel_mode": "pjit"},
+        "ddp_sync": {"parallel_mode": "ddp", "sync_bn": True},
+        "ddp_local": {"parallel_mode": "ddp", "sync_bn": False},
+    }.items():
+        cfg = tiny_config(
+            classes_2level,
+            tmp_path / key,
+            epochs=1,
+            batch=8,
+            size=16,
+            mesh={"data": 8},
+            extra_training=extra,
+        )
+        trainer = Trainer(cfg, verbose=False)
+        batch = next(iter(trainer.train_loader))
+        state, _ = trainer._train_step(trainer.state, batch, jnp.asarray(0))
+        stem_var[key] = np.asarray(
+            jax.device_get(state.batch_stats["backbone"]["stem_bn"]["var"])
+        )
+    np.testing.assert_allclose(
+        stem_var["ddp_sync"], stem_var["pjit"], rtol=1e-4, atol=1e-6
+    )
+    assert not np.allclose(stem_var["ddp_local"], stem_var["pjit"], rtol=1e-4)
+
+
 def test_ddp_matches_pjit_on_one_device(classes_2level, tmp_path):
     """With a single replica the two modes are the same math."""
     from tests.test_train_e2e import tiny_config

@@ -102,6 +102,55 @@ def test_batch_loader_num_workers_threadpool():
     assert [int(b["fine"][0, 0, 0]) for b in batches] == [0, 2, 4]
 
 
+def test_grain_loader_batches_and_padding():
+    from seghiero_tpu.data.pipeline import GrainBatchLoader
+
+    ds = _ToyDataset(5)
+    train = GrainBatchLoader(ds, 2, drop_last=True)
+    assert len(train) == 2
+    batches = list(train)
+    assert len(batches) == 2
+    assert all(b["image"].shape == (2, 4, 4, 3) for b in batches)
+    # full coverage minus the dropped tail
+    seen = sorted(int(b["fine"][j, 0, 0]) for b in batches for j in range(2))
+    assert len(set(seen)) == 4
+
+    val = GrainBatchLoader(ds, 2, drop_last=False)
+    batches = list(val)
+    assert len(batches) == 3
+    assert batches[-1]["fine"][1].max() == 255  # eval-tail padding contract
+    assert batches[-1]["image"].shape == (2, 4, 4, 3)
+
+
+def test_grain_loader_shuffle_per_epoch_deterministic():
+    from seghiero_tpu.data.pipeline import GrainBatchLoader
+
+    ds = _ToyDataset(8)
+    dl = GrainBatchLoader(ds, 2, shuffle=True, seed=3)
+    dl.set_epoch(0)
+    order0 = [int(b["fine"][0, 0, 0]) for b in dl]
+    dl.set_epoch(0)
+    assert order0 == [int(b["fine"][0, 0, 0]) for b in dl]
+    dl.set_epoch(1)
+    assert order0 != [int(b["fine"][0, 0, 0]) for b in dl]
+
+
+def test_trainer_with_grain_loader(classes_2level, tmp_path):
+    from tests.test_train_e2e import tiny_config
+    from seghiero_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(
+        classes_2level,
+        tmp_path,
+        epochs=1,
+        size=4,
+        extra_training={"loader": "grain", "num_workers": 0},
+    )
+    trainer = Trainer(cfg, verbose=False)
+    history = trainer.fit()
+    assert np.isfinite(history[0]["train_loss"])
+
+
 def test_batch_loader_propagates_worker_errors():
     from seghiero_tpu.data.pipeline import BatchLoader
 
