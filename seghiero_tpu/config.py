@@ -107,10 +107,14 @@ class ModelConfig:
     # backbone output stride: 32 (reference parity) | 16 | 8 (dilated
     # stages, the DeepLab configuration — better mIoU, more compute)
     output_stride: int = 32
-    # stem evaluation: "conv7" (plain 7×7/s2) | "s2d" (space-to-depth
-    # rewrite — mathematically identical, ~MXU-rate instead of ~2 TFLOP/s;
-    # same parameter tree, so checkpoints work in either mode)
-    stem: str = "s2d"
+    # stem evaluation: "conv7" (plain 7×7/s2) | "s2d" (exact space-to-depth
+    # rewrite; same parameter tree, so checkpoints work in either mode).
+    # Measured on v5e at 512²/b8 bf16: conv7 fwd+weight-grad 2.6 ms vs s2d
+    # 3.9 ms — XLA already handles the first-layer case well (no input
+    # grad), so conv7 is the default; s2d wins 5.5× only when the stem's
+    # INPUT gradient is needed (45.3 vs 8.3 ms — e.g. adversarial /
+    # saliency / distillation-through-input setups).
+    stem: str = "conv7"
     in_channels: int = 2048
     c1_in_channels: int = 256
     c1_channels: int = 48
@@ -139,7 +143,7 @@ class ModelConfig:
         output_stride = int(d.get("output_stride", 32))
         if output_stride not in (8, 16, 32):
             raise ValueError(f"model.output_stride must be 8|16|32, got {output_stride}")
-        stem = str(d.get("stem", "s2d"))
+        stem = str(d.get("stem", "conv7"))
         if stem not in ("conv7", "s2d"):
             raise ValueError(f"model.stem must be conv7|s2d, got {stem}")
         return cls(

@@ -75,6 +75,13 @@ def _ce_cmajor(logits, targets, ignore_index, divide_by="all"):
     return total / jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
 
 
+def _expand_channels(x, idx):
+    """``x[:, idx]`` for a static index list, lowered as slice+concat —
+    TPU gathers are slow even with constant indices (see
+    losses/hiera.py:lut_lookup for the measured pathology)."""
+    return jnp.concatenate([x[:, int(c) : int(c) + 1] for c in idx], axis=1)
+
+
 def _bucket_max_cmajor(child_l, buckets, own_l):
     cols = []
     for i, ids in enumerate(buckets):
@@ -91,7 +98,7 @@ def hiera_bce_two_level_cmajor(lf, t_fine, t_coarse, h: Hierarchy, eps=1e-8):
     nf, nc = h.n_fine, h.n_coarse
     la, lb = lf[:, :nf], lf[:, nf : nf + nc]
     mcmb = _bucket_max_cmajor(la, h.fine_by_coarse, lb)
-    mcla = jnp.minimum(la, lb[:, np.asarray(h.fine_to_coarse)])
+    mcla = jnp.minimum(la, _expand_channels(lb, h.fine_to_coarse))
     loss_f = _masked_level_bce(mcla, la, t_fine, nf, h.ignore_index, eps)
     loss_c = _masked_level_bce(lb, mcmb, t_coarse, nc, h.ignore_index, eps)
     return 5.0 * (loss_f + loss_c)
@@ -105,8 +112,8 @@ def hiera_bce_three_level_cmajor(lf, t_f, t_m, t_h, h: Hierarchy, clip_min=_CLIP
     lc = lf[:, nf + nm : nf + nm + nh]
     mcmb_c = _bucket_max_cmajor(la, h.fine_by_coarse, lb)
     mcmc_c = _bucket_max_cmajor(mcmb_c, h.coarse_by_super, lc)
-    mcla = jnp.minimum(la, lb[:, np.asarray(h.fine_to_coarse)])
-    mclb_c = jnp.minimum(lb, lc[:, np.asarray(h.coarse_to_super)])
+    mcla = jnp.minimum(la, _expand_channels(lb, h.fine_to_coarse))
+    mclb_c = jnp.minimum(lb, _expand_channels(lc, h.coarse_to_super))
     loss_f = _masked_level_bce(mcla, la, t_f, nf, h.ignore_index, clip_min)
     loss_m = _masked_level_bce(mclb_c, mcmb_c, t_m, nm, h.ignore_index, clip_min)
     loss_h = _masked_level_bce(lc, mcmc_c, t_h, nh, h.ignore_index, clip_min)

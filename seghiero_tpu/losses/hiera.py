@@ -38,6 +38,22 @@ from seghiero_tpu.losses.tree_triplet import (
 # ---------------------------------------------------------------------------
 
 
+def lut_lookup(lut, idx: jax.Array) -> jax.Array:
+    """Apply a small static LUT to an index array WITHOUT a gather.
+
+    On TPU a full-resolution gather lowers to a "custom fusion" running
+    at ~3 GB/s — profiled at 16.6 ms/step (30% of the whole train step)
+    for the fine→coarse target LUT at 512²/b8. The unrolled
+    compare-select chain over the (compile-time constant) table fuses
+    into one elementwise pass at HBM bandwidth instead.
+    """
+    lut = np.asarray(lut)
+    out = jnp.full(idx.shape, int(lut[0]), dtype=jnp.int32)
+    for i in range(1, len(lut)):
+        out = jnp.where(idx == i, np.int32(lut[i]), out)
+    return out
+
+
 def prepare_targets_two_level(
     labels: jax.Array, hierarchy: Hierarchy
 ) -> Tuple[jax.Array, jax.Array]:
@@ -48,7 +64,7 @@ def prepare_targets_two_level(
     valid = (labels >= 0) & (labels < hierarchy.n_fine)
     safe = jnp.where(valid, labels, 0)
     coarse = jnp.where(
-        valid, jnp.asarray(hierarchy.fine_to_coarse)[safe], hierarchy.ignore_index
+        valid, lut_lookup(hierarchy.fine_to_coarse, safe), hierarchy.ignore_index
     )
     return labels, coarse.astype(labels.dtype)
 
@@ -62,10 +78,10 @@ def prepare_targets_three_level(
     valid = (labels >= 0) & (labels < hierarchy.n_fine)
     safe = jnp.where(valid, labels, 0)
     mid = jnp.where(
-        valid, jnp.asarray(hierarchy.fine_to_coarse)[safe], hierarchy.ignore_index
+        valid, lut_lookup(hierarchy.fine_to_coarse, safe), hierarchy.ignore_index
     )
     high = jnp.where(
-        valid, jnp.asarray(hierarchy.fine_to_super)[safe], hierarchy.ignore_index
+        valid, lut_lookup(hierarchy.fine_to_super, safe), hierarchy.ignore_index
     )
     return labels, mid.astype(labels.dtype), high.astype(labels.dtype)
 
