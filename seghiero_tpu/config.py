@@ -183,9 +183,13 @@ class TrainingConfig:
     rmi_pool_size: int = 3
     rmi_pool_stride: int = 3
     # RMI Gram accumulation: "auto" streams over row chunks when the
-    # neighborhood tensor would exceed ~256 MB (losses/rmi.py:
+    # neighborhood tensor would exceed ~1.5 GB (losses/rmi.py:
     # rmi_logdet_streaming_cmajor); "on"/"off" force it
     rmi_streaming: str = "auto"
+    # RMI covariance backend: "auto" uses the Pallas one-pass Gram
+    # kernels (ops/pallas/rmi_gram.py) on TPU for radius-3 f32,
+    # "pallas"/"xla" force a backend
+    rmi_backend: str = "auto"
     triplet_schedule_unit: str = "step"
     seed: int = 0
     log_every: int = 50
@@ -239,6 +243,8 @@ class TrainingConfig:
             raise ValueError("parallel_mode must be 'pjit' or 'ddp'")
         if out.rmi_streaming not in ("auto", "on", "off"):
             raise ValueError("rmi_streaming must be 'auto', 'on' or 'off'")
+        if out.rmi_backend not in ("auto", "pallas", "xla"):
+            raise ValueError("rmi_backend must be 'auto', 'pallas' or 'xla'")
         if out.loader not in ("thread", "grain"):
             raise ValueError("loader must be 'thread' or 'grain'")
         return out

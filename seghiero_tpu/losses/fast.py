@@ -121,7 +121,8 @@ def hiera_bce_three_level_cmajor(lf, t_f, t_m, t_h, h: Hierarchy, clip_min=_CLIP
 
 
 def rmi_lower_bound_cmajor(
-    oh_all, probs_masked, *, radius=3, use_float64=False, streaming="auto"
+    oh_all, probs_masked, *, radius=3, use_float64=False, streaming="auto",
+    backend="auto", pallas_interpret=False,
 ):
     """losses/rmi.py:rmi_lower_bound with [B, C, H, W] inputs (the
     neighborhood-stack transpose is free in this layout). Shares the
@@ -130,8 +131,12 @@ def rmi_lower_bound_cmajor(
 
     ``streaming``: "on" accumulates the 9×9 Grams over row-chunks
     (``rmi_logdet_streaming_cmajor``) instead of materializing the
-    [B, C, r², N] neighborhood tensor; "auto" picks streaming when that
-    tensor would exceed ~256 MB (512²-scale inputs)."""
+    [B, C, r², N] neighborhood tensor; "auto" picks streaming only when
+    that tensor would exceed ~1.5 GB (working set ≈ 3× that with the
+    residual vectors — approaching the 16 GB HBM of a v5e). Below that,
+    materializing is faster: streaming's remat recompute costs ~12% on
+    the 512²·b4 3-level step (measured), so it should only buy back
+    memory that is actually needed."""
     from seghiero_tpu.losses.rmi import (
         _pick_chunk_rows,
         _rmi_logdet_core,
@@ -142,8 +147,22 @@ def rmi_lower_bound_cmajor(
     B, C, H, W = probs_masked.shape
     nh, nw = H - (radius - 1), W - (radius - 1)
 
+    if backend != "xla":
+        from seghiero_tpu.ops.pallas.rmi_gram import (
+            rmi_gram_pallas_available,
+            rmi_logdet_pallas_cmajor,
+        )
+
+        if backend == "pallas" or rmi_gram_pallas_available(
+            H, W, radius, use_float64
+        ):
+            half = rmi_logdet_pallas_cmajor(
+                oh_all, probs_masked, interpret=pallas_interpret
+            )
+            return jnp.sum(jnp.mean(half, axis=0) / float(half_d))
+
     use_streaming = streaming == "on" or (
-        streaming == "auto" and B * C * half_d * nh * nw * 4 > 256 * 2**20
+        streaming == "auto" and B * C * half_d * nh * nw * 4 > 1536 * 2**20
     )
     if use_streaming and _pick_chunk_rows(nh) >= 8:
         half = rmi_logdet_streaming_cmajor(
@@ -232,7 +251,7 @@ class FastRMIHieraTripletLoss:
     def __init__(self, hierarchy, rmi_radius=3, loss_weight_lambda=0.5,
                  loss_weight=1.0, upper_ids=None, lower_ids=None,
                  use_float64=False, axis_name: Optional[str] = None,
-                 rmi_streaming: str = "auto"):
+                 rmi_streaming: str = "auto", rmi_backend: str = "auto"):
         self.h = hierarchy
         self.rmi_radius = rmi_radius
         self.loss_weight_lambda = loss_weight_lambda
@@ -242,6 +261,7 @@ class FastRMIHieraTripletLoss:
         self.use_float64 = use_float64
         self.axis_name = axis_name
         self.rmi_streaming = rmi_streaming
+        self.rmi_backend = rmi_backend
 
     @property
     def schedule_total_steps(self):
@@ -280,7 +300,7 @@ class FastRMIHieraTripletLoss:
         rmi = rmi_lower_bound_cmajor(
             oh_all, probs * valid_all + _CLIP_MIN,
             radius=self.rmi_radius, use_float64=self.use_float64,
-            streaming=self.rmi_streaming,
+            streaming=self.rmi_streaming, backend=self.rmi_backend,
         )
         loss = self.loss_weight_lambda * rmi + 0.5 * hiera
         loss += _ce_cmajor(lf[:, :nf], t_f, h.ignore_index)

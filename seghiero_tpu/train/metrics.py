@@ -21,14 +21,24 @@ def confusion_matrix(
     preds: jax.Array, labels: jax.Array, num_classes: int, ignore_index: int = 255
 ) -> jax.Array:
     """[num_classes, num_classes] counts over non-ignored pixels
-    (rows = truth, cols = prediction)."""
+    (rows = truth, cols = prediction).
+
+    Computed as a one-hot matmul ``Tᵀ·P`` so the reduction over pixels
+    rides the MXU — a scatter-add over a full-resolution index map is
+    the same ~3 GB/s TPU pathology as a gather (losses/hiera.py:
+    lut_lookup). f32 accumulation is exact for counts < 2²⁴ per cell,
+    far above any eval batch."""
     valid = labels != ignore_index
     t = jnp.where(valid, labels, 0).reshape(-1)
     p = preds.reshape(-1)
-    w = valid.reshape(-1).astype(jnp.int32)
-    idx = t * num_classes + p
-    cm = jnp.zeros((num_classes * num_classes,), jnp.int32).at[idx].add(w)
-    return cm.reshape(num_classes, num_classes)
+    w = valid.reshape(-1).astype(jnp.float32)
+    iota = jnp.arange(num_classes)
+    t_oh = (t[:, None] == iota).astype(jnp.float32) * w[:, None]
+    p_oh = (p[:, None] == iota).astype(jnp.float32)
+    cm = jnp.einsum(
+        "ni,nj->ij", t_oh, p_oh, precision=jax.lax.Precision.HIGHEST
+    )
+    return cm.astype(jnp.int32)
 
 
 def pixel_accuracy_counts(preds, labels, ignore_index: int = 255):

@@ -84,6 +84,7 @@ def make_composite_loss(cfg: SegHieroConfig, axis_name: Optional[str] = None):
                 loss_weight=1.0,
                 axis_name=axis_name,
                 rmi_streaming=t.rmi_streaming,
+                rmi_backend=t.rmi_backend,
             )
         return FastHieraTripletLoss(
             h,

@@ -1,0 +1,98 @@
+"""Equivalence of the Pallas RMI Gram kernels (ops/pallas/rmi_gram.py)
+with the materialized XLA core (losses/rmi.py:_rmi_logdet_core), values
+and gradients, in interpreter mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seghiero_tpu.losses.rmi import _rmi_logdet_core
+from seghiero_tpu.ops.pallas.rmi_gram import (
+    _pick_tile_rows,
+    rmi_logdet_pallas_cmajor,
+)
+
+
+def _core_reference(oh, lg):
+    """Materialized-core half-logdets for [B, C, H, W] maps."""
+    B, C, H, W = lg.shape
+    nh, nw = H - 2, W - 2
+
+    def nbhd(x):
+        views = [
+            x[:, :, y : y + nh, xx : xx + nw] for y in range(3) for xx in range(3)
+        ]
+        return jnp.stack(views, axis=2).reshape(B, C, 9, nh * nw)
+
+    pr = jax.nn.sigmoid(lg) + 1e-6
+    la = jax.lax.stop_gradient(nbhd(jnp.asarray(oh)))
+    return _rmi_logdet_core(la, nbhd(pr), 9, False)
+
+
+def _pallas(oh, lg):
+    pr = jax.nn.sigmoid(lg) + 1e-6
+    return rmi_logdet_pallas_cmajor(jnp.asarray(oh), pr, interpret=True)
+
+
+@pytest.mark.parametrize("H,W", [(18, 20), (34, 26)])
+def test_pallas_rmi_matches_core_values_and_grads(rng, H, W):
+    B, C = 2, 3
+    oh = rng.integers(0, 2, (B, C, H, W)).astype(np.float32)
+    lg = jnp.asarray(rng.standard_normal((B, C, H, W)).astype(np.float32))
+
+    v_ref, g_ref = jax.value_and_grad(lambda x: jnp.sum(_core_reference(oh, x)))(lg)
+    v_pal, g_pal = jax.value_and_grad(lambda x: jnp.sum(_pallas(oh, x)))(lg)
+
+    np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), rtol=5e-3, atol=2e-5
+    )
+
+
+def test_pallas_rmi_unaligned_width_and_multi_tile(rng):
+    """W not a 128-multiple (lane pad path) and nh forcing several row
+    tiles with a small tile cap."""
+    B, C, H, W = 1, 2, 140, 30  # nh=138 → 2 tiles with a masked tail
+    th, n_t = _pick_tile_rows(H - 2)
+    assert n_t >= 2 and n_t * th > H - 2  # multi-tile + tail masking
+    oh = rng.integers(0, 2, (B, C, H, W)).astype(np.float32)
+    lg = jnp.asarray(rng.standard_normal((B, C, H, W)).astype(np.float32))
+    v_ref = float(jnp.sum(_core_reference(oh, lg)))
+    v_pal = float(jnp.sum(_pallas(oh, lg)))
+    np.testing.assert_allclose(v_pal, v_ref, rtol=2e-4)
+
+
+def test_fast_3level_pallas_backend_matches_xla(rng, classes_3level):
+    from seghiero_tpu.hierarchy import Hierarchy
+    from seghiero_tpu.losses.fast import FastRMIHieraTripletLoss
+    from tests.test_fast_losses import _inputs
+
+    h = Hierarchy.from_class_config(classes_3level)
+    lo, emb, labels = _inputs(rng, h, H=32, W=32)
+    xla = float(
+        FastRMIHieraTripletLoss(h, rmi_backend="xla")(
+            jnp.array(0), emb, lo, lo, labels
+        )
+    )
+
+    # route through the kernel in interpreter mode
+    import seghiero_tpu.losses.fast as fast_mod
+
+    orig = fast_mod.rmi_lower_bound_cmajor
+
+    def patched(oh, pr, **kw):
+        kw["backend"] = "pallas"
+        kw["pallas_interpret"] = True
+        return orig(oh, pr, **kw)
+
+    fast_mod.rmi_lower_bound_cmajor = patched
+    try:
+        pal = float(
+            FastRMIHieraTripletLoss(h, rmi_backend="pallas")(
+                jnp.array(0), emb, lo, lo, labels
+            )
+        )
+    finally:
+        fast_mod.rmi_lower_bound_cmajor = orig
+    np.testing.assert_allclose(pal, xla, rtol=2e-4)

@@ -34,6 +34,36 @@ def test_miou_and_pixel_acc():
     np.testing.assert_allclose(miou_from_confusion(cm), (2 / 3 + 1 / 2 + 1) / 3)
 
 
+def test_confusion_matrix_matches_numpy_on_random(rng):
+    from seghiero_tpu.train.metrics import confusion_matrix
+
+    n = 7
+    labels = rng.integers(0, n, (3, 33, 33)).astype(np.int32)
+    labels[labels == 3] = 255  # some ignored
+    preds = rng.integers(0, n, (3, 33, 33)).astype(np.int32)
+    cm = np.asarray(confusion_matrix(preds, labels, n))
+    ref = np.zeros((n, n), np.int64)
+    for t, p in zip(labels.ravel(), preds.ravel()):
+        if t != 255:
+            ref[t, p] += 1
+    assert cm.tolist() == ref.tolist()
+
+
+def test_lut_lookup_matches_take(rng):
+    from seghiero_tpu.losses.hiera import lut_lookup
+
+    lut = np.array([4, 0, 2, 2, 1, 3], np.int64)
+    idx = rng.integers(0, len(lut), (2, 17, 9)).astype(np.int32)
+    out = np.asarray(lut_lookup(lut, jnp_asarray(idx)))
+    np.testing.assert_array_equal(out, lut[idx])
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
 def test_accuracy_topk():
     import jax.numpy as jnp
 
