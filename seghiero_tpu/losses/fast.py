@@ -122,7 +122,7 @@ def hiera_bce_three_level_cmajor(lf, t_f, t_m, t_h, h: Hierarchy, clip_min=_CLIP
 
 def rmi_lower_bound_cmajor(
     oh_all, probs_masked, *, radius=3, use_float64=False, streaming="auto",
-    backend="auto", pallas_interpret=False,
+    backend="auto", pallas_interpret=False, per_replica=False,
 ):
     """losses/rmi.py:rmi_lower_bound with [B, C, H, W] inputs (the
     neighborhood-stack transpose is free in this layout). Shares the
@@ -154,7 +154,7 @@ def rmi_lower_bound_cmajor(
         )
 
         if backend == "pallas" or rmi_gram_pallas_available(
-            H, W, radius, use_float64
+            H, W, radius, use_float64, per_replica=per_replica
         ):
             half = rmi_logdet_pallas_cmajor(
                 oh_all, probs_masked, interpret=pallas_interpret
@@ -301,6 +301,9 @@ class FastRMIHieraTripletLoss:
             oh_all, probs * valid_all + _CLIP_MIN,
             radius=self.rmi_radius, use_float64=self.use_float64,
             streaming=self.rmi_streaming, backend=self.rmi_backend,
+            # axis_name set ⇒ running per-replica inside shard_map (ddp):
+            # the kernel sees local shards, so it stays usable multi-chip
+            per_replica=self.axis_name is not None,
         )
         loss = self.loss_weight_lambda * rmi + 0.5 * hiera
         loss += _ce_cmajor(lf[:, :nf], t_f, h.ignore_index)

@@ -79,13 +79,24 @@ def _pick_tile_rows(nh: int) -> Tuple[int, int]:
     return best
 
 
-def rmi_gram_pallas_available(H: int, W: int, radius: int, use_float64: bool) -> bool:
-    """Kernel preconditions: radius-3, f32, a usable row tiling, and a
-    TPU backend (tests force ``interpret=True`` on CPU)."""
+def rmi_gram_pallas_available(
+    H: int, W: int, radius: int, use_float64: bool, per_replica: bool = False
+) -> bool:
+    """Kernel preconditions: radius-3, f32, a TPU backend (tests force
+    ``interpret=True`` on CPU), and a single-device context.
+
+    ``per_replica=True`` declares the caller runs inside ``shard_map``
+    (trainer ddp mode): the kernel then sees local shards and is safe on
+    any device count. Under multi-device *pjit* the XLA partitioner
+    cannot partition a custom call — it would replicate the global-batch
+    maps onto every chip — so the auto backend falls back to the
+    partitionable XLA formulation there."""
     if radius != 3 or use_float64 or H < 3 or W < 3:
         return False
     try:
-        return jax.default_backend() != "cpu"
+        if jax.default_backend() == "cpu":
+            return False
+        return per_replica or jax.device_count() == 1
     except Exception:  # pragma: no cover
         return False
 

@@ -63,6 +63,40 @@ def test_pallas_rmi_unaligned_width_and_multi_tile(rng):
     np.testing.assert_allclose(v_pal, v_ref, rtol=2e-4)
 
 
+def test_pallas_rmi_under_shard_map(rng):
+    """ddp context: the kernel runs per-replica inside shard_map over the
+    data axis (local batch shards) — the multi-chip mode where the Pallas
+    backend stays enabled (rmi_gram_pallas_available per_replica)."""
+    from jax.sharding import PartitionSpec as P
+
+    from seghiero_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    mesh = make_mesh({"data": 4})
+    B, C, H, W = 4, 2, 18, 20
+    oh = rng.integers(0, 2, (B, C, H, W)).astype(np.float32)
+    lg = jnp.asarray(rng.standard_normal((B, C, H, W)).astype(np.float32))
+
+    def per_replica(oh_shard, lg_shard):
+        pr = jax.nn.sigmoid(lg_shard) + 1e-6
+        return rmi_logdet_pallas_cmajor(oh_shard, pr, interpret=True)
+
+    sharded = jax.jit(
+        jax.shard_map(
+            per_replica,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            # pallas_call outputs carry no vma metadata; the ddp trainer
+            # runs with check_vma=False too (train/trainer.py)
+            check_vma=False,
+        )
+    )(jnp.asarray(oh), lg)
+    ref = _core_reference(oh, lg)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(ref), rtol=2e-4, atol=1e-5
+    )
+
+
 def test_fast_3level_pallas_backend_matches_xla(rng, classes_3level):
     from seghiero_tpu.hierarchy import Hierarchy
     from seghiero_tpu.losses.fast import FastRMIHieraTripletLoss
