@@ -191,6 +191,11 @@ class TrainingConfig:
     # "pallas"/"xla" force a backend
     rmi_backend: str = "auto"
     triplet_schedule_unit: str = "step"
+    # 2-level hierarchy term: "bce" (reference live path, ×5 scale) or
+    # "focal" (the reference's dead focal variant made selectable —
+    # hiera_loss.py:72-115, γ below, no ×5 scale)
+    hiera_variant: str = "bce"
+    focal_gamma: float = 2.0
     seed: int = 0
     log_every: int = 50
     mesh: Dict[str, int] = dataclasses.field(default_factory=lambda: {"data": -1})
@@ -247,6 +252,8 @@ class TrainingConfig:
             raise ValueError("rmi_backend must be 'auto', 'pallas' or 'xla'")
         if out.loader not in ("thread", "grain"):
             raise ValueError("loader must be 'thread' or 'grain'")
+        if out.hiera_variant not in ("bce", "focal"):
+            raise ValueError("hiera_variant must be 'bce' or 'focal'")
         return out
 
 

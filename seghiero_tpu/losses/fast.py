@@ -93,6 +93,36 @@ def _bucket_max_cmajor(child_l, buckets, own_l):
     return jnp.stack(cols, axis=1)
 
 
+def _masked_level_focal(pos_l, neg_l, targets, n, ignore_index, eps, gamma):
+    """Focal-modulated level term (losses/focal.py:level in C-major)."""
+    valid = (targets != ignore_index)[:, None]
+    safe = jnp.where(valid[:, 0], targets, 0)[:, None]
+    oh = safe == _class_iota(n)
+    nv = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    pos_p = jax.nn.sigmoid(pos_l)
+    neg_p = jax.nn.sigmoid(neg_l)
+    term = jnp.where(
+        oh,
+        (1.0 - pos_p) ** gamma * _log_sig_eps(pos_l, eps),
+        neg_p**gamma * _log_one_minus_sig_eps(neg_l, eps),
+    )
+    return jnp.sum(jnp.where(valid, -term, 0.0)) / (nv * n)
+
+
+def hiera_focal_two_level_cmajor(
+    lf, t_fine, t_coarse, h: Hierarchy, eps=1e-8, gamma=2.0
+):
+    """losses/focal.py:hiera_focal_loss in [B, C, H, W] (no ×5 scale,
+    matching the reference's dead focal code, hiera_loss.py:72-115)."""
+    nf, nc = h.n_fine, h.n_coarse
+    la, lb = lf[:, :nf], lf[:, nf : nf + nc]
+    mcmb = _bucket_max_cmajor(la, h.fine_by_coarse, lb)
+    mcla = jnp.minimum(la, _expand_channels(lb, h.fine_to_coarse))
+    loss_f = _masked_level_focal(mcla, la, t_fine, nf, h.ignore_index, eps, gamma)
+    loss_c = _masked_level_focal(lb, mcmb, t_coarse, nc, h.ignore_index, eps, gamma)
+    return loss_f + loss_c
+
+
 def hiera_bce_two_level_cmajor(lf, t_fine, t_coarse, h: Hierarchy, eps=1e-8):
     """losses/hiera.py:hiera_bce_two_level in [B, C, H, W]."""
     nf, nc = h.n_fine, h.n_coarse
@@ -199,12 +229,15 @@ class FastHieraTripletLoss:
     wants_low_res = True  # trainer feeds low-res logits (no NHWC full-res)
 
     def __init__(self, hierarchy, loss_weight=1.0, schedule_total_steps=80_000,
-                 axis_name: Optional[str] = None, use_pallas: bool = False):
+                 axis_name: Optional[str] = None, use_pallas: bool = False,
+                 hiera_variant: str = "bce", focal_gamma: float = 2.0):
         self.h = hierarchy
         self.loss_weight = loss_weight
         self.schedule_total_steps = schedule_total_steps
         self.axis_name = axis_name
         self.use_pallas = use_pallas
+        self.hiera_variant = hiera_variant
+        self.focal_gamma = focal_gamma
 
     def __call__(self, step, embedding, cls_score_before, cls_score, label):
         h = self.h
@@ -213,7 +246,7 @@ class FastHieraTripletLoss:
         t_fine, t_coarse = prepare_targets_two_level(label, h)
 
         use_pallas = False
-        if self.use_pallas:
+        if self.use_pallas and self.hiera_variant == "bce":
             from seghiero_tpu.ops.pallas.hiera2_fused import (
                 fused_hiera2_available,
                 fused_hiera2_loss_sums,
@@ -232,7 +265,12 @@ class FastHieraTripletLoss:
             loss = loss + ce_f / total + ce_c / total
         else:
             lf = _resize_cmajor(lo, out_hw)
-            loss = hiera_bce_two_level_cmajor(lf, t_fine, t_coarse, h)
+            if self.hiera_variant == "focal":
+                loss = hiera_focal_two_level_cmajor(
+                    lf, t_fine, t_coarse, h, gamma=self.focal_gamma
+                )
+            else:
+                loss = hiera_bce_two_level_cmajor(lf, t_fine, t_coarse, h)
             loss += _ce_cmajor(lf[:, : h.n_fine], t_fine, h.ignore_index)
             loss += _ce_cmajor(
                 lf[:, h.n_fine : h.n_fine + h.n_coarse], t_coarse, h.ignore_index

@@ -254,6 +254,10 @@ class HieraTripletLoss:
     max_triplet: int = 200
     margin: float = 0.6
     axis_name: Optional[str] = None
+    # "bce" (reference live path) | "focal" (the reference's dead focal
+    # variant made selectable — losses/focal.py, hiera_loss.py:72-115)
+    hiera_variant: str = "bce"
+    focal_gamma: float = 2.0
 
     def __call__(
         self,
@@ -265,7 +269,14 @@ class HieraTripletLoss:
     ) -> jax.Array:
         h = self.hierarchy
         t_fine, t_coarse = prepare_targets_two_level(label, h)
-        loss = hiera_bce_two_level(cls_score, t_fine, t_coarse, h)
+        if self.hiera_variant == "focal":
+            from seghiero_tpu.losses.focal import hiera_focal_loss
+
+            loss = hiera_focal_loss(
+                cls_score, t_fine, t_coarse, h, gamma=self.focal_gamma
+            )
+        else:
+            loss = hiera_bce_two_level(cls_score, t_fine, t_coarse, h)
         loss = loss + softmax_cross_entropy(
             cls_score[..., : h.n_fine], t_fine, divide_by="all"
         )

@@ -70,6 +70,11 @@ def make_composite_loss(cfg: SegHieroConfig, axis_name: Optional[str] = None):
     the NHWC parity implementations."""
     h = cfg.hierarchy
     t = cfg.training
+    if t.hiera_variant == "focal" and h.has_super:
+        raise ValueError(
+            "training.hiera_variant: focal is 2-level only (the reference's "
+            "focal variant, hiera_loss.py:72-115, has no 3-level form)"
+        )
     if t.fast_losses:
         from seghiero_tpu.losses.fast import (
             FastHieraTripletLoss,
@@ -91,6 +96,8 @@ def make_composite_loss(cfg: SegHieroConfig, axis_name: Optional[str] = None):
             loss_weight=t.fine_weight,
             axis_name=axis_name,
             use_pallas=t.pallas_fused_loss,
+            hiera_variant=t.hiera_variant,
+            focal_gamma=t.focal_gamma,
         )
     if h.has_super:
         return RMIHieraTripletLoss(
@@ -103,7 +110,13 @@ def make_composite_loss(cfg: SegHieroConfig, axis_name: Optional[str] = None):
             loss_weight=1.0,
             axis_name=axis_name,
         )
-    return HieraTripletLoss(hierarchy=h, loss_weight=t.fine_weight, axis_name=axis_name)
+    return HieraTripletLoss(
+        hierarchy=h,
+        loss_weight=t.fine_weight,
+        axis_name=axis_name,
+        hiera_variant=t.hiera_variant,
+        focal_gamma=t.focal_gamma,
+    )
 
 
 def _forward_losses(

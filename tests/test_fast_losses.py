@@ -54,6 +54,56 @@ def test_fast_3level_matches_parity(rng, classes_3level):
     np.testing.assert_allclose(fast, ref, rtol=5e-5)
 
 
+def test_fast_focal_variant_matches_nhwc(rng, classes_2level):
+    """C-major focal hierarchy term (losses/fast.py) ≡ NHWC
+    hiera_focal_loss, through the full composite."""
+    from seghiero_tpu.losses.focal import hiera_focal_loss
+    from seghiero_tpu.losses.hiera import prepare_targets_two_level
+    from seghiero_tpu.losses.tree_triplet import (
+        tree_triplet_loss_range,
+        triplet_schedule_factor,
+    )
+
+    h = Hierarchy.from_class_config(classes_2level)
+    lo, emb, labels = _inputs(rng, h)
+    lf = resize_bilinear(lo, labels.shape[1:3])
+    t_fine, t_coarse = prepare_targets_two_level(jnp.asarray(labels), h)
+
+    from seghiero_tpu.losses.cross_entropy import softmax_cross_entropy
+
+    ref = float(hiera_focal_loss(lf, t_fine, t_coarse, h))
+    ref += float(softmax_cross_entropy(lf[..., : h.n_fine], t_fine))
+    ref += float(
+        softmax_cross_entropy(lf[..., h.n_fine : h.n_fine + h.n_coarse], t_coarse)
+    )
+    t, c = tree_triplet_loss_range(jnp.asarray(emb), jnp.asarray(labels), h)
+    if int(c) > 0:
+        ref += float(triplet_schedule_factor(jnp.array(0), 80_000) * t)
+
+    fast = float(
+        FastHieraTripletLoss(h, hiera_variant="focal")(
+            jnp.array(0), emb, lo, lo, labels
+        )
+    )
+    np.testing.assert_allclose(fast, ref, rtol=5e-5)
+
+
+def test_trainer_focal_variant_trains(classes_2level, tmp_path):
+    from tests.test_train_e2e import tiny_config
+    from seghiero_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(
+        classes_2level,
+        tmp_path,
+        epochs=1,
+        size=4,
+        extra_training={"hiera_variant": "focal"},
+    )
+    trainer = Trainer(cfg, verbose=False)
+    history = trainer.fit()
+    assert np.isfinite(history[0]["train_loss"])
+
+
 def test_rmi_streaming_matches_materialized(rng):
     """Chunked-Gram RMI (rmi_logdet_streaming_cmajor, forced to 4 row
     chunks) ≡ materialized core: forward values and gradients."""

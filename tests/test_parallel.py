@@ -57,9 +57,15 @@ def test_ddp_sync_bn_matches_global_batch_stats(classes_2level, tmp_path):
 
     stem_var = {}
     for key, extra in {
-        "pjit": {"parallel_mode": "pjit"},
-        "ddp_sync": {"parallel_mode": "ddp", "sync_bn": True},
-        "ddp_local": {"parallel_mode": "ddp", "sync_bn": False},
+        # donate_state off: buffer donation + shard_map collectives has
+        # produced rare XLA CPU aborts deep into long pytest processes
+        # (never in isolation); donation is orthogonal to what this test
+        # asserts
+        "pjit": {"parallel_mode": "pjit", "donate_state": False},
+        "ddp_sync": {"parallel_mode": "ddp", "sync_bn": True,
+                     "donate_state": False},
+        "ddp_local": {"parallel_mode": "ddp", "sync_bn": False,
+                      "donate_state": False},
     }.items():
         cfg = tiny_config(
             classes_2level,
