@@ -177,6 +177,14 @@ class TrainingConfig:
     loader: str = "thread"
     momentum: float = 0.9
     weight_decay: float = 1e-4
+    # optimizer family: "sgd" (reference parity: momentum .9, wd 1e-4,
+    # torch update order — train.py:239-246) | "adamw" (extension)
+    optimizer: str = "sgd"
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    # average gradients over N micro-batches per optimizer update
+    # (optax.MultiSteps; large effective batch without the memory)
+    grad_accum_steps: int = 1
     aux_weight: float = 0.4  # train.py:315
     rmi_radius: int = 3
     rmi_pool_way: int = 0
@@ -254,6 +262,10 @@ class TrainingConfig:
             raise ValueError("loader must be 'thread' or 'grain'")
         if out.hiera_variant not in ("bce", "focal"):
             raise ValueError("hiera_variant must be 'bce' or 'focal'")
+        if out.optimizer not in ("sgd", "adamw"):
+            raise ValueError("optimizer must be 'sgd' or 'adamw'")
+        if out.grad_accum_steps < 1:
+            raise ValueError("grad_accum_steps must be >= 1")
         return out
 
 
@@ -290,6 +302,7 @@ class OutputConfig:
     project_name: str = "seghiero"
     metrics_jsonl: Optional[str] = None  # extension: persist epoch history
     profile_dir: Optional[str] = None  # extension: jax.profiler trace dir
+    tensorboard_dir: Optional[str] = None  # extension: TB scalar writer
 
     @classmethod
     def from_dict(cls, d: dict) -> "OutputConfig":
@@ -299,6 +312,7 @@ class OutputConfig:
             project_name=str(d.get("project_name", "seghiero")),
             metrics_jsonl=d.get("metrics_jsonl"),
             profile_dir=d.get("profile_dir"),
+            tensorboard_dir=d.get("tensorboard_dir"),
         )
 
 

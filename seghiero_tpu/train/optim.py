@@ -51,9 +51,25 @@ def make_schedule(cfg: TrainingConfig, total_steps: int):
 def make_optimizer(
     cfg: TrainingConfig, schedule: Optional[optax.Schedule] = None
 ) -> optax.GradientTransformation:
+    """``training.optimizer``: "sgd" (reference parity, torch update
+    order) | "adamw" (extension). ``training.grad_accum_steps > 1``
+    wraps the result in ``optax.MultiSteps`` — gradients average over N
+    micro-batches before one update (large effective batches without the
+    memory; the optimizer step index then advances every N calls)."""
     lr = schedule if schedule is not None else cfg.lr
-    return optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay),
-        optax.trace(decay=cfg.momentum, nesterov=False),
-        optax.scale_by_learning_rate(lr),
-    )
+    if cfg.optimizer == "adamw":
+        tx = optax.adamw(
+            lr,
+            b1=cfg.adam_beta1,
+            b2=cfg.adam_beta2,
+            weight_decay=cfg.weight_decay,
+        )
+    else:
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.trace(decay=cfg.momentum, nesterov=False),
+            optax.scale_by_learning_rate(lr),
+        )
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx

@@ -469,7 +469,9 @@ class Trainer:
     def fit(self) -> list:
         cfg = self.cfg
         history = []
-        logger = MetricsLogger(cfg.output.metrics_jsonl)
+        logger = MetricsLogger(
+            cfg.output.metrics_jsonl, cfg.output.tensorboard_dir
+        )
         n_train = len(self.train_loader)
         with maybe_profile(cfg.output.profile_dir):
             for epoch in range(self.start_epoch, cfg.training.epochs):
@@ -559,6 +561,7 @@ class Trainer:
                 # final per-class IoU report (extension; reference has no mIoU)
                 _, table = self.evaluate(with_table=True)
                 print(table)
+        logger.close()
         return history
 
     def evaluate(self, with_table: bool = False):

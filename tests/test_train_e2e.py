@@ -94,3 +94,34 @@ def test_val_padding_batch(classes_2level, tmp_path):
     trainer = Trainer(cfg, verbose=False)
     m = trainer.evaluate()
     assert 0.0 <= m["fine_acc"] <= 1.0
+
+
+def test_adamw_optimizer_trains(classes_2level, tmp_path):
+    cfg = tiny_config(
+        classes_2level, tmp_path, epochs=1, size=4,
+        extra_training={"optimizer": "adamw", "lr": 1e-3},
+    )
+    trainer = Trainer(cfg, verbose=False)
+    history = trainer.fit()
+    assert np.isfinite(history[0]["train_loss"])
+
+
+def test_grad_accumulation_updates_every_k(classes_2level, tmp_path):
+    """grad_accum_steps=2: parameters move only on every second call
+    (optax.MultiSteps semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tiny_config(
+        classes_2level, tmp_path, epochs=1, size=4, batch=2,
+        extra_training={"grad_accum_steps": 2, "donate_state": False},
+    )
+    trainer = Trainer(cfg, verbose=False)
+    batch = next(iter(trainer.train_loader))
+    p0 = jax.device_get(trainer.state.params["head"]["cls_seg"]["bias"])
+    s1, _ = trainer._train_step(trainer.state, batch, jnp.asarray(0))
+    p1 = jax.device_get(s1.params["head"]["cls_seg"]["bias"])
+    np.testing.assert_array_equal(p1, p0)  # accumulating, no update yet
+    s2, _ = trainer._train_step(s1, batch, jnp.asarray(0))
+    p2 = jax.device_get(s2.params["head"]["cls_seg"]["bias"])
+    assert not np.array_equal(p2, p1)  # second micro-batch applies it

@@ -308,3 +308,18 @@ def test_focal_loss_numpy_oracle(rng, classes_2level):
         np.asarray(t_coarse), mclb, mcmb, h.n_coarse
     )
     np.testing.assert_allclose(ours, oracle, rtol=1e-5)
+
+
+def test_metrics_logger_tensorboard(tmp_path):
+    from seghiero_tpu.utils.logging_util import MetricsLogger
+
+    tb = str(tmp_path / "tb")
+    lg = MetricsLogger(str(tmp_path / "m.jsonl"), tb)
+    lg.log({"epoch": 1, "train_loss": 1.5, "val_acc": 0.7, "note": "x"})
+    lg.close()
+    import os
+
+    files = os.listdir(tb)
+    assert any("tfevents" in f for f in files)
+    with open(tmp_path / "m.jsonl") as f:
+        assert "train_loss" in f.read()
