@@ -28,6 +28,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from flax.linen import dtypes as nn_dtypes
+
 from seghiero_tpu.models.resnet import batch_norm, conv
 from seghiero_tpu.ops.resize import resize_bilinear
 
@@ -64,6 +66,52 @@ class ProjectionHead(nn.Module):
         )
 
 
+class DepthwiseConv(nn.Module):
+    """k×k depthwise conv (one filter per channel), same parameter tree
+    as ``nn.Conv(feature_group_count=C)`` (kernel [k, k, 1, C]).
+
+    ``use_pallas=True`` routes the 3×3/s1/dilation-1 case through the
+    Pallas VPU kernel (ops/pallas/depthwise.py). DEFAULT OFF: measured
+    slower than XLA in the full program — the custom-call boundary
+    breaks the conv↔BN/ReLU fusions (see the kernel module docstring
+    for the numbers)."""
+
+    kernel: int = 3
+    dilation: int = 1
+    dtype: Any = jnp.float32
+    bn_axis: Any = None  # unused; accepted for call-site uniformity
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, 1, c_in),
+        )
+        x, k = nn_dtypes.promote_dtype(x, k, dtype=self.dtype)
+        from seghiero_tpu.ops.pallas.depthwise import (
+            depthwise3x3,
+            depthwise3x3_available,
+        )
+
+        if self.use_pallas and depthwise3x3_available(
+            k.shape, (1, 1), (self.dilation, self.dilation), x.shape[2]
+        ):
+            return depthwise3x3(x, k.reshape(self.kernel * self.kernel, c_in))
+        pad = self.dilation * (self.kernel - 1) // 2
+        return jax.lax.conv_general_dilated(
+            x,
+            k,
+            (1, 1),
+            ((pad, pad), (pad, pad)),
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c_in,
+        )
+
+
 class DepthwiseSeparableConv(nn.Module):
     """depthwise(k×k, dilated) → BN → ReLU → pointwise 1×1 → BN → ReLU.
     Reference :33-62."""
@@ -77,16 +125,8 @@ class DepthwiseSeparableConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         c_in = x.shape[-1]
-        pad = self.dilation * (self.kernel - 1) // 2
-        y = nn.Conv(
-            c_in,
-            (self.kernel, self.kernel),
-            padding=[(pad, pad), (pad, pad)],
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=c_in,
-            use_bias=False,
-            dtype=self.dtype,
-            name="depthwise",
+        y = DepthwiseConv(
+            self.kernel, self.dilation, dtype=self.dtype, name="depthwise"
         )(x)
         y = batch_norm(train, self.dtype, name="bn_dw", axis_name=self.bn_axis)(y)
         y = nn.relu(y)

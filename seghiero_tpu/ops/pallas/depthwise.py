@@ -1,0 +1,235 @@
+"""Pallas TPU kernel for the 3×3 stride-1 depthwise convolution.
+
+Why: the head's depthwise-separable bottlenecks (models/heads.py,
+sep_aspp_contrast_head.py:33-62 of the reference) lower to XLA grouped
+convolutions with ``feature_group_count = C`` that run at 2–4 TF/s —
+4.6 ms of the 37.9 ms headline train step (fwd + input-grad +
+weight-grad at 512²/b8), ~10× above the bandwidth floor: a depthwise
+conv does 9 MACs per element and is memory-bound, but the MXU path
+scatters it across tiny per-channel contractions.
+
+This kernel computes it on the VPU as 9 shifted multiply-adds over
+``[8, W, C]`` row blocks (C in lanes, W in sublanes):
+
+  * rows: the grid walks 8-row tiles of an H-padded (8 rows of zeros on
+    each side) input; the row halo is simply the NEIGHBORING 8-row
+    block, passed as two extra BlockSpec views of the same array —
+    uniform block shape, so all offsets are block-aligned and Pallas
+    pipelines the loads. The zero padding makes 'same' edge handling
+    automatic in H.
+  * columns: ``pltpu.roll`` along the sublane (W) axis + first/last
+    column masks (Mosaic supports aligned rolls; offset slices would
+    break lane/sublane layout).
+  * accumulation in f32, output cast back to the input dtype — the same
+    numeric contract as XLA's conv (bf16 in, f32 accumulate).
+
+Backward reuses the structure exactly:
+  * input-grad = this same kernel applied to the output cotangent with
+    the spatially flipped kernel (stride-1 'same' correlation identity);
+  * weight-grad = a sibling kernel accumulating the 9 per-tap
+    ``Σ x_shifted · dout`` channel reductions into one ``[9, C]`` block
+    across the whole grid.
+
+Scope: 3×3, stride 1, dilation 1, NHWC (the hot sep-bottleneck shape).
+The dilated ASPP branches (16² maps, negligible) and anything else fall
+back to ``lax.conv_general_dilated``. Like ops/pallas/rmi_gram.py, the
+custom call cannot be SPMD-partitioned, so multi-device pjit also falls
+back (ddp/shard_map contexts pass ``per_replica=True``).
+
+Status: MEASURED AND DEFAULT OFF. On a v5e at 512²/b8 the kernels
+total 6.4 ms/step vs the 4.6 ms of XLA grouped convs they replace, and
+the step regresses 37.9 → 47.2 ms: the custom-call boundary also breaks
+XLA's fusion of the conv with its surrounding BN/ReLU elementwise
+chains (+6.7 ms of loop fusions + pad passes). The "slow" 2–4 TF/s the
+grouped convs show in isolation is already amortized by fusion in the
+full program. Kept as a correct, tested kernel (opt-in via
+``DepthwiseConv(use_pallas=True)``) and as the recorded experiment —
+the same verdict as ops/pallas/hiera2_fused.py.
+
+Equivalence with the XLA grouped conv is asserted in
+tests/test_depthwise_pallas.py (values and both gradients).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH = 8  # row-tile = block unit; halo blocks are the neighbors
+CB = 128  # channel block (one lane group) — bounds VMEM: f32 compute
+# intermediates at full C=560 blew the 16 MB scoped-vmem budget (22 MB);
+# depthwise is channel-separable, so the grid also walks 128-lane chunks
+
+
+def depthwise3x3_available(
+    kernel_shape, stride, dilation, W: int, per_replica: bool = False
+) -> bool:
+    if tuple(kernel_shape[:2]) != (3, 3) or tuple(stride) != (1, 1):
+        return False
+    if tuple(dilation) != (1, 1) or W % 8 != 0 or W < 16:
+        return False
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+        return per_replica or jax.device_count() == 1
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _taps(band, W):
+    """Yield (dy, dx, shifted [TH, W, C] f32, per-tap column mask)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (TH, W, 1), 1)
+    for dy in range(3):
+        rows = band[dy : dy + TH]  # [TH, W, C]
+        for dx in range(3):
+            ox = dx - 1
+            if ox == 0:
+                yield dy, dx, rows, None
+            elif ox == 1:  # reads w+1 → roll left; last column invalid
+                yield dy, dx, pltpu.roll(rows, W - 1, 1), col < (W - 1)
+            else:  # reads w−1 → roll right; first column invalid
+                yield dy, dx, pltpu.roll(rows, 1, 1), col >= 1
+
+
+def _fwd_kernel(top, main, bot, k_ref, out_ref, *, W):
+    band = jnp.concatenate(
+        [top[0, TH - 1 :], main[0], bot[0, :1]], axis=0
+    ).astype(jnp.float32)  # [TH+2, W, C]
+    k = k_ref[:].astype(jnp.float32)  # [9, C]
+    acc = jnp.zeros(main.shape[1:], jnp.float32)
+    for dy, dx, shifted, mask in _taps(band, W):
+        term = shifted * k[dy * 3 + dx][None, None, :]
+        acc = acc + (jnp.where(mask, term, 0.0) if mask is not None else term)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _wgrad_kernel(top, main, bot, g_ref, dk_ref, *, W):
+    b = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+
+    band = jnp.concatenate(
+        [top[0, TH - 1 :], main[0], bot[0, :1]], axis=0
+    ).astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)  # [TH, W, C]
+    for dy, dx, shifted, mask in _taps(band, W):
+        prod = shifted * g
+        if mask is not None:
+            prod = jnp.where(mask, prod, 0.0)
+        dk_ref[dy * 3 + dx] = dk_ref[dy * 3 + dx] + jnp.sum(prod, axis=(0, 1))
+
+
+def _pad_rows(x):
+    return jnp.pad(x, ((0, 0), (TH, TH), (0, 0), (0, 0)))
+
+
+def _specs(W):
+    """(top, main, bottom) views of the row-padded input: uniform
+    (1, TH, W, CB) blocks at row-block indices t, t+1, t+2 and channel
+    chunk c. Grid order is (c, b, t) — channels OUTERMOST so the wgrad
+    output block for chunk c stays resident across its whole (b, t)
+    sweep (Pallas only guarantees output-block accumulation across
+    consecutive grid steps)."""
+    mk = lambda off: pl.BlockSpec(
+        (1, TH, W, CB), lambda c, b, t, o=off: (b, t + o, 0, c),
+        memory_space=pltpu.VMEM,
+    )
+    return mk(0), mk(1), mk(2)
+
+
+def _dw_raw(x, k9, interpret):
+    """x [B, H, W, C] (H % 8 == 0 enforced by caller), k9 [9, C]."""
+    B, H, W, C = x.shape
+    n_t = H // TH
+    n_c = -(-C // CB)
+    xp = _pad_rows(x)
+    top, main, bot = _specs(W)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, W=W),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        grid=(n_c, B, n_t),
+        in_specs=[
+            top,
+            main,
+            bot,
+            pl.BlockSpec((9, CB), lambda c, b, t: (0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TH, W, CB), lambda c, b, t: (b, t, 0, c), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(xp, xp, xp, k9)
+
+
+def _dw_wgrad(x, g, interpret):
+    B, H, W, C = x.shape
+    n_t = H // TH
+    n_c = -(-C // CB)
+    xp = _pad_rows(x)
+    top, main, bot = _specs(W)
+    return pl.pallas_call(
+        functools.partial(_wgrad_kernel, W=W),
+        out_shape=jax.ShapeDtypeStruct((9, C), jnp.float32),
+        grid=(n_c, B, n_t),
+        in_specs=[
+            top,
+            main,
+            bot,
+            pl.BlockSpec(
+                (1, TH, W, CB), lambda c, b, t: (b, t, 0, c),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (9, CB), lambda c, b, t: (0, c), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(xp, xp, xp, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def depthwise3x3(x, k9, interpret=False):
+    """Depthwise 3×3/s1 'same' conv; x [B, H, W, C], k9 [9, C] (taps in
+    row-major (dy, dx) order). H is padded to a multiple of 8 internally."""
+    out, _ = _dw_fwd(x, k9, interpret)
+    return out
+
+
+def _run_padded(fn, x, *args):
+    B, H, W, C = x.shape
+    Hp = ((H + TH - 1) // TH) * TH
+    if Hp != H:
+        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+    out = fn(x, *args)
+    return out[:, :H] if (Hp != H and out.ndim == 4) else out
+
+
+def _dw_fwd(x, k9, interpret):
+    out = _run_padded(lambda xx: _dw_raw(xx, k9, interpret), x)
+    return out, (x, k9)
+
+
+def _dw_bwd(interpret, res, g):
+    x, k9 = res
+    # input-grad: correlate the cotangent with the flipped kernel
+    k_flip = k9[::-1]  # reversing (dy*3+dx) row-major order flips both axes
+    dx = _run_padded(lambda gg: _dw_raw(gg, k_flip, interpret), g)
+    B, H, W, C = x.shape
+    Hp = ((H + TH - 1) // TH) * TH
+    if Hp != H:
+        pad = ((0, 0), (0, Hp - H), (0, 0), (0, 0))
+        dk = _dw_wgrad(jnp.pad(x, pad), jnp.pad(g, pad), interpret)
+    else:
+        dk = _dw_wgrad(x, g, interpret)
+    return dx, dk.astype(k9.dtype)
+
+
+depthwise3x3.defvjp(_dw_fwd, _dw_bwd)
