@@ -2,6 +2,7 @@
 cross_entropy_loss.py use_sigmoid/use_mask paths)."""
 
 import numpy as np
+import pytest
 import torch
 
 from seghiero_tpu.losses.cross_entropy import (
@@ -11,6 +12,8 @@ from seghiero_tpu.losses.cross_entropy import (
 )
 
 from reference_oracle import RefCrossEntropyLoss, to_torch_nchw
+
+pytestmark = pytest.mark.fast
 
 
 def test_binary_ce_same_shape_labels(rng):

@@ -57,6 +57,8 @@ REFERENCE_YAML = textwrap.dedent(
     """
 )
 
+pytestmark = pytest.mark.fast
+
 
 def test_reference_yaml_loads_verbatim(tmp_path):
     """The reference example-config.yaml schema must parse unchanged

@@ -8,6 +8,8 @@ from seghiero_tpu.hierarchy import (
     build_hiera_index,
 )
 
+pytestmark = pytest.mark.fast
+
 
 def test_build_fine_to_level_map_ranges_and_singletons():
     lut = build_fine_to_level_map([[0, 3], [4, 6], [7], [8]], 9)

@@ -30,6 +30,8 @@ from reference_oracle import (
     to_torch_nchw,
 )
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture
 def hier2(classes_2level):

@@ -2,10 +2,13 @@
 resizing primitive at train.py:277-284 and tree_triplet_loss.py:17-19)."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
 from seghiero_tpu.ops import downsample_labels_nearest, half_size, resize_bilinear
+
+pytestmark = pytest.mark.fast
 
 
 def _torch_bilinear(x_nhwc, size):
