@@ -42,15 +42,21 @@ class CheckpointManager:
         return os.path.join(step_dir, "meta.json")
 
     def _existing_steps(self):
+        """Steps with a COMMITTED state dir. Orbax writes to a tmp name
+        and renames on commit, so `state/` existing ⇒ complete — an
+        in-flight async save (meta.json already written, state pending)
+        is correctly skipped."""
         steps = []
         if not os.path.isdir(self.root):
             return steps
         for d in os.listdir(self.root):
             if d.startswith("step_"):
                 try:
-                    steps.append(int(d.split("_")[1]))
+                    s = int(d.split("_")[1])
                 except ValueError:
                     continue
+                if os.path.isdir(os.path.join(self._step_dir(s), "state")):
+                    steps.append(s)
         return sorted(steps)
 
     # ------------------------------------------------------------------
@@ -64,13 +70,14 @@ class CheckpointManager:
         config_raw: Dict,
         is_best: bool,
     ) -> str:
+        # barrier on the PREVIOUS async save (a no-op if it finished
+        # during the epoch that elapsed since) before starting this one,
+        # then GC with only committed directories visible — the save
+        # itself overlaps the next epoch's train steps.
+        self._ckptr.wait_until_finished()
         step = int(jax.device_get(state.step))
         step_dir = self._step_dir(step)
         self._ckptr.save(os.path.join(step_dir, "state"), state, force=True)
-        # StandardCheckpointer commits asynchronously (save overlaps the
-        # next train steps); barrier before the sidecar/GC so a directory
-        # listed as existing is always complete.
-        self._ckptr.wait_until_finished()
         meta = {
             "step": step,
             "epoch": epoch,
@@ -78,6 +85,9 @@ class CheckpointManager:
             "best_val_loss": best_val_loss,
             "config": config_raw,
         }
+        # the async save commits `state/` via tmp-dir rename later; the
+        # sidecar must not rely on the step dir existing yet
+        os.makedirs(step_dir, exist_ok=True)
         with open(self._meta_path(step_dir), "w") as f:
             json.dump(meta, f, indent=1, default=float)
         if is_best:
@@ -85,6 +95,11 @@ class CheckpointManager:
                 json.dump({"step": step}, f)
         self._gc(keep_best=True)
         return step_dir
+
+    def wait(self):
+        """Flush any in-flight async save (call before process exit or
+        before handing the directory to another reader)."""
+        self._ckptr.wait_until_finished()
 
     def _best_step(self) -> Optional[int]:
         p = os.path.join(self.root, "best.json")
@@ -104,6 +119,7 @@ class CheckpointManager:
 
     # ------------------------------------------------------------------
     def restore(self, step: int, target_state) -> Tuple[Any, Dict]:
+        self._ckptr.wait_until_finished()  # flush an in-flight save first
         step_dir = self._step_dir(step)
         state = self._ckptr.restore(os.path.join(step_dir, "state"), target_state)
         with open(self._meta_path(step_dir)) as f:
@@ -111,6 +127,7 @@ class CheckpointManager:
         return state, meta
 
     def restore_latest(self, target_state) -> Optional[Tuple[Any, Dict]]:
+        self._ckptr.wait_until_finished()  # the latest save may be in flight
         steps = self._existing_steps()
         if not steps:
             return None

@@ -26,19 +26,28 @@ def confusion_matrix(
     Computed as a one-hot matmul ``Tᵀ·P`` so the reduction over pixels
     rides the MXU — a scatter-add over a full-resolution index map is
     the same ~3 GB/s TPU pathology as a gather (losses/hiera.py:
-    lut_lookup). f32 accumulation is exact for counts < 2²⁴ per cell,
-    far above any eval batch."""
+    lut_lookup). f32 accumulation is exact only for counts < 2²⁴ per
+    cell, so pixels are processed in ≤2²³-pixel slabs whose partial
+    matrices accumulate in int32 — exact up to 2³¹ total per cell (a
+    16×1024² batch dominated by one class stays exact)."""
     valid = labels != ignore_index
     t = jnp.where(valid, labels, 0).reshape(-1)
     p = preds.reshape(-1)
     w = valid.reshape(-1).astype(jnp.float32)
     iota = jnp.arange(num_classes)
-    t_oh = (t[:, None] == iota).astype(jnp.float32) * w[:, None]
-    p_oh = (p[:, None] == iota).astype(jnp.float32)
-    cm = jnp.einsum(
-        "ni,nj->ij", t_oh, p_oh, precision=jax.lax.Precision.HIGHEST
-    )
-    return cm.astype(jnp.int32)
+
+    slab = 1 << 23
+    n = t.shape[0]
+    cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+    for lo in range(0, n, slab):
+        hi = min(lo + slab, n)
+        t_oh = (t[lo:hi, None] == iota).astype(jnp.float32) * w[lo:hi, None]
+        p_oh = (p[lo:hi, None] == iota).astype(jnp.float32)
+        part = jnp.einsum(
+            "ni,nj->ij", t_oh, p_oh, precision=jax.lax.Precision.HIGHEST
+        )
+        cm = cm + part.astype(jnp.int32)
+    return cm
 
 
 def pixel_accuracy_counts(preds, labels, ignore_index: int = 255):

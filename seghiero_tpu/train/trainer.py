@@ -63,11 +63,15 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def make_composite_loss(cfg: SegHieroConfig, axis_name: Optional[str] = None):
+def make_composite_loss(
+    cfg: SegHieroConfig, axis_name: Optional[str] = None, mesh=None
+):
     """2- vs 3-level loss dispatch on the presence of a super level
     (mirrors train.py:176-233). ``training.fast_losses`` selects the
     C-major TPU fast path (losses/fast.py), equivalence-tested against
-    the NHWC parity implementations."""
+    the NHWC parity implementations. ``mesh`` (pjit mode only) lets the
+    3-level RMI Pallas kernels stay engaged on a multi-chip mesh via a
+    nested shard_map over the batch dim."""
     h = cfg.hierarchy
     t = cfg.training
     if t.hiera_variant == "focal" and h.has_super:
@@ -90,6 +94,8 @@ def make_composite_loss(cfg: SegHieroConfig, axis_name: Optional[str] = None):
                 axis_name=axis_name,
                 rmi_streaming=t.rmi_streaming,
                 rmi_backend=t.rmi_backend,
+                mesh=mesh if axis_name is None else None,
+                rmi_precision=t.rmi_precision,
             )
         return FastHieraTripletLoss(
             h,
@@ -147,8 +153,13 @@ def _forward_losses(
             images,
             train=True,
             mutable=["batch_stats"],
-            # per-step dropout stream (only the plain-ASPP head uses it)
-            rngs={"dropout": jax.random.fold_in(jax.random.key(0), sched_step)},
+            # per-step dropout stream seeded from training.seed (only the
+            # plain-ASPP head uses it)
+            rngs={
+                "dropout": jax.random.fold_in(
+                    jax.random.key(cfg.training.seed), sched_step
+                )
+            },
         )
         new_batch_stats = mutated["batch_stats"]
     else:
@@ -333,7 +344,7 @@ class Trainer:
                 spec["data"] = d
             self.mesh = make_mesh(spec)
         self.model = build_model(cfg)
-        self.composite = make_composite_loss(cfg)
+        self.composite = make_composite_loss(cfg, mesh=self.mesh)
 
         self.train_ds = build_dataset(cfg, "train", seed=cfg.training.seed)
         self.val_ds = build_dataset(cfg, "val", seed=cfg.training.seed)
@@ -478,6 +489,7 @@ class Trainer:
                 timer = StepTimer()
                 self.train_loader.set_epoch(epoch)
                 running = 0.0
+                step_losses = []  # device scalars; ONE host sync at epoch end
                 t0 = time.perf_counter()
                 iterator = enumerate(self.train_loader)
                 pbar = None
@@ -496,6 +508,7 @@ class Trainer:
                     self.state, m = self._train_step(
                         self.state, batch, jnp.asarray(epoch)
                     )
+                    step_losses.append(m["loss"])
                     timer.tick(cfg.training.batch_size)
                     if pbar is not None:
                         pbar.update(1)
@@ -516,11 +529,18 @@ class Trainer:
                 if pbar is not None:
                     pbar.close()
                 train_time = time.perf_counter() - t0
+                # true epoch average (train.py:403-414 averages over the
+                # epoch; `running` is only the last logged step's loss)
+                train_loss = (
+                    float(np.mean(jax.device_get(jnp.stack(step_losses))))
+                    if step_losses
+                    else running
+                )
 
                 val = self.evaluate()
                 record = {
                     "epoch": epoch + 1,
-                    "train_loss": running,
+                    "train_loss": train_loss,
                     "val_loss": val["loss"],
                     "val_acc": val["fine_acc"],
                     "val_fine_miou": val["fine_miou"],
@@ -536,7 +556,7 @@ class Trainer:
                          "Val fine mIoU"],
                         [
                             epoch + 1,
-                            f"{running:.4f}",
+                            f"{train_loss:.4f}",
                             f"{val['loss']:.4f}",
                             f"{val['fine_acc'] * 100:.2f}%",
                             f"{val['fine_miou'] * 100:.2f}%",
@@ -557,12 +577,23 @@ class Trainer:
                 )
                 if is_best and self.verbose:
                     print(f"→ Saved new best model (val_loss {val['loss']:.4f})\n")
-            if self.verbose:
-                # final per-class IoU report (extension; reference has no mIoU)
-                _, table = self.evaluate(with_table=True)
-                print(table)
+            if self.verbose and self._last_eval is not None:
+                # final per-class IoU report (extension; reference has no
+                # mIoU) — from the last epoch's accumulator, not a second
+                # full pass over the val set
+                print(self._iou_table(self._last_eval))
+        self.ckpt.wait()  # flush the last async save before returning
         logger.close()
         return history
+
+    _last_eval: Any = dataclasses.field(default=None, init=False, repr=False)
+
+    def _iou_table(self, acc) -> str:
+        h = self.cfg.hierarchy
+        names = {"fine": self.cfg.fine_names, "coarse": self.cfg.coarse_names}
+        if h.has_super:
+            names["super"] = self.cfg.super_names
+        return acc.iou_table(names)
 
     def evaluate(self, with_table: bool = False):
         h = self.cfg.hierarchy
@@ -570,12 +601,13 @@ class Trainer:
         if h.has_super:
             levels["super"] = h.n_super
         acc = SegMetrics(levels)
-        for batch in self.val_loader:
-            out = self._eval_step(self.state, batch)
-            acc.update(float(out["loss"]), jax.device_get(out["levels"]))
+        # keep per-batch results on device; ONE host transfer at the end
+        # (a device_get per eval batch costs a full dispatch round-trip
+        # through remote-TPU relays)
+        outs = [self._eval_step(self.state, batch) for batch in self.val_loader]
+        for out in jax.device_get(outs):
+            acc.update(float(out["loss"]), out["levels"])
+        self._last_eval = acc
         if with_table:
-            names = {"fine": self.cfg.fine_names, "coarse": self.cfg.coarse_names}
-            if h.has_super:
-                names["super"] = self.cfg.super_names
-            return acc.summary(), acc.iou_table(names)
+            return acc.summary(), self._iou_table(acc)
         return acc.summary()
