@@ -125,43 +125,57 @@ def run_infer_bench(trainer, batch, steps: int):
     # dependency that chains steps. Doing the chaining with eager ops
     # costs several dispatch round-trips per step — measured 139 ms/step
     # vs 25 ms of actual device time at 1024²/b4 through the relay.
+    # `variables` is an explicit argument (not a closure) so the weights
+    # are jaxpr inputs, not baked-in constants — closing over an
+    # r101-scale tree inflates trace/compile memory and re-bakes the
+    # constants on every call of this function.
     @jax.jit
-    def chained(images):
+    def chained(variables, images):
         preds, _ = pred._predict(variables, images, out_hw)
         bump = (preds["fine"][:, :1, :1, None] * 0).astype(images.dtype)
         return images + bump, preds
 
     for _ in range(2):
-        images, preds = chained(images)
+        images, preds = chained(variables, images)
     jax.device_get(preds["fine"][0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(steps):
-        images, preds = chained(images)
+        images, preds = chained(variables, images)
     jax.device_get(preds["fine"][0, 0, 0])
     return time.perf_counter() - t0, 0.0
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--config", type=int, default=2, choices=sorted(BENCH_CONFIGS))
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument(
+        "--config",
+        type=int,
+        default=None,
+        choices=sorted(BENCH_CONFIGS),
+        help="run ONE config; default runs all 5 BASELINE configs "
+        "(headline metric = config 2, every config in `details`)",
+    )
+    p.add_argument("--steps", type=int, default=30)
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument(
         "--dry-run", action="store_true", help="tiny shapes, CPU-safe smoke run"
     )
-    p.add_argument("--all", action="store_true", help="run every config, report all")
+    p.add_argument("--all", action="store_true", help="(default) run every config")
     args = p.parse_args()
 
     if args.dry_run:
-        BENCH_CONFIGS[args.config] = dict(
-            BENCH_CONFIGS[args.config], hw=64, batch=2, all_devices=False
+        cid = args.config if args.config is not None else 2
+        args.config = cid
+        BENCH_CONFIGS[cid] = dict(
+            BENCH_CONFIGS[cid], hw=64, batch=2, all_devices=False
         )
         args.steps = min(args.steps, 3)
         args.dtype = "float32"
 
     import jax
 
-    cfg_ids = sorted(BENCH_CONFIGS) if args.all else [args.config]
+    run_all = args.all or args.config is None
+    cfg_ids = sorted(BENCH_CONFIGS) if run_all else [args.config]
     results = {}
     for cid in cfg_ids:
         trainer, batch, spec, global_batch = build(cid, args.steps, args.dtype)
@@ -185,6 +199,12 @@ def main():
             f"{img_s / n_chips:.2f} img/s/chip, {dt / args.steps * 1e3:.1f} ms/step",
             file=sys.stderr,
         )
+        # release this config's params/opt-state/batch before the next
+        # build — configs 4/5 are r101 at 769²/1024² and HBM is finite
+        del trainer, batch
+        import gc
+
+        gc.collect()
 
     headline_id = 2 if 2 in results else cfg_ids[0]
     headline = results[headline_id]

@@ -4,10 +4,11 @@ Flag-compatible with the reference CLIs:
   * train: ``--config`` (train.py:24-34) + extensions ``--resume``,
     ``--quiet``.
   * infer: ``--config --image --checkpoint --device --output-dir``
-    (infer.py:183-213). ``--device`` is accepted for compatibility and
-    ignored — device placement is the JAX runtime's job; ``--image`` may
-    be given multiple times (batched multi-image inference, an
-    extension).
+    (infer.py:183-213). ``--device cpu`` (or ``training.device: cpu``)
+    pins the CPU backend, mirroring the reference's device knob
+    (train.py:109-113); other values are ignored with a note — placement
+    on accelerators is the JAX runtime's job. ``--image`` may be given
+    multiple times (batched multi-image inference, an extension).
 """
 
 from __future__ import annotations
@@ -15,6 +16,16 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+
+
+def _force_cpu():
+    """Pin the CPU backend BEFORE any jax backend initializes (the env
+    var alone is not enough on images whose sitecustomize registers an
+    accelerator plugin in every interpreter)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def train_main(argv=None) -> int:
@@ -32,7 +43,11 @@ def train_main(argv=None) -> int:
     from seghiero_tpu.train.trainer import Trainer
 
     cfg = load_config(args.config)
-    if cfg.training.gpus is not None or cfg.training.device not in (None, "tpu"):
+    if cfg.training.device == "cpu":
+        # honored like the reference's training.device (train.py:109-113):
+        # run on the host CPU backend instead of grabbing an accelerator
+        _force_cpu()
+    elif cfg.training.gpus is not None or cfg.training.device not in (None, "tpu"):
         print(
             f"→ config requests device={cfg.training.device!r} gpus={cfg.training.gpus}"
             " — ignored on the JAX/TPU runtime (devices are auto-detected)"
@@ -93,7 +108,9 @@ def infer_main(argv=None) -> int:
     from seghiero_tpu.infer.predictor import Predictor
 
     cfg = load_config(args.config)
-    if args.device:
+    if args.device == "cpu" or (args.device is None and cfg.training.device == "cpu"):
+        _force_cpu()
+    elif args.device:
         print(f"→ --device {args.device!r} ignored (JAX selects devices)")
 
     predictor = Predictor.from_checkpoint(cfg, args.checkpoint)
