@@ -198,6 +198,11 @@ class TrainingConfig:
     # kernels (ops/pallas/rmi_gram.py) on TPU for radius-3 f32,
     # "pallas"/"xla" force a backend
     rmi_backend: str = "auto"
+    # "parity" (default): f32 Gram operands, HIGHEST-precision MXU
+    # passes — the reference arithmetic class. "fast": bf16 z operands
+    # with f32 accumulators in the Pallas kernels (native single-pass
+    # MXU) — faster 3-level steps at relaxed parity tolerances
+    rmi_precision: str = "parity"
     triplet_schedule_unit: str = "step"
     # 2-level hierarchy term: "bce" (reference live path, ×5 scale) or
     # "focal" (the reference's dead focal variant made selectable —
@@ -258,6 +263,8 @@ class TrainingConfig:
             raise ValueError("rmi_streaming must be 'auto', 'on' or 'off'")
         if out.rmi_backend not in ("auto", "pallas", "xla"):
             raise ValueError("rmi_backend must be 'auto', 'pallas' or 'xla'")
+        if out.rmi_precision not in ("parity", "fast"):
+            raise ValueError("rmi_precision must be 'parity' or 'fast'")
         if out.loader not in ("thread", "grain"):
             raise ValueError("loader must be 'thread' or 'grain'")
         if out.hiera_variant not in ("bce", "focal"):

@@ -19,6 +19,7 @@ oracles.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -78,7 +79,15 @@ def _ce_cmajor(logits, targets, ignore_index, divide_by="all"):
 def _expand_channels(x, idx):
     """``x[:, idx]`` for a static index list, lowered as slice+concat —
     TPU gathers are slow even with constant indices (see
-    losses/hiera.py:lut_lookup for the measured pathology)."""
+    losses/hiera.py:lut_lookup for the measured pathology). Above
+    ``LUT_UNROLL_MAX`` output channels the slice+concat chain switches
+    to a plain channel gather: per-channel slices stop fusing at
+    many-class scale and trace size grows linearly (same crossover
+    rationale as lut_lookup)."""
+    from seghiero_tpu.losses.hiera import LUT_UNROLL_MAX
+
+    if len(idx) > LUT_UNROLL_MAX:
+        return jnp.take(x, jnp.asarray(np.asarray(idx, np.int32)), axis=1)
     return jnp.concatenate([x[:, int(c) : int(c) + 1] for c in idx], axis=1)
 
 
@@ -152,7 +161,8 @@ def hiera_bce_three_level_cmajor(lf, t_f, t_m, t_h, h: Hierarchy, clip_min=_CLIP
 
 def rmi_lower_bound_cmajor(
     oh_all, probs_masked, *, radius=3, use_float64=False, streaming="auto",
-    backend="auto", pallas_interpret=False, per_replica=False,
+    backend="auto", pallas_interpret=False, per_replica=False, mesh=None,
+    precision="parity",
 ):
     """losses/rmi.py:rmi_lower_bound with [B, C, H, W] inputs (the
     neighborhood-stack transpose is free in this layout). Shares the
@@ -166,7 +176,14 @@ def rmi_lower_bound_cmajor(
     residual vectors — approaching the 16 GB HBM of a v5e). Below that,
     materializing is faster: streaming's remat recompute costs ~12% on
     the 512²·b4 3-level step (measured), so it should only buy back
-    memory that is actually needed."""
+    memory that is actually needed.
+
+    ``mesh``: when given and its 'data' axis has >1 device (multi-chip
+    pjit mode), the Pallas kernels run inside a nested ``shard_map``
+    over the batch dimension — each device runs the kernel on its local
+    shard (batch-parallel by construction). Without this the SPMD
+    partitioner cannot split the custom call and config-4-style runs
+    would fall back to the ~1.75× slower XLA RMI."""
     from seghiero_tpu.losses.rmi import (
         _pick_chunk_rows,
         _rmi_logdet_core,
@@ -183,11 +200,63 @@ def rmi_lower_bound_cmajor(
             rmi_logdet_pallas_cmajor,
         )
 
-        if backend == "pallas" or rmi_gram_pallas_available(
+        if backend == "pallas":
+            # forced path: fail loudly instead of silently computing
+            # radius-3/f32 statistics for a different configuration
+            # (rmi_logdet_pallas_cmajor hardcodes both), or crashing
+            # deep inside pallas_call on a CPU backend.
+            if radius != 3:
+                raise ValueError(
+                    "training.rmi_backend: pallas requires rmi_radius == 3 "
+                    f"(got {radius}); use rmi_backend: auto or xla"
+                )
+            if use_float64:
+                raise ValueError(
+                    "training.rmi_backend: pallas is f32-only; disable "
+                    "rmi_use_float64 or use rmi_backend: auto or xla"
+                )
+            if jax.default_backend() == "cpu" and not pallas_interpret:
+                raise ValueError(
+                    "training.rmi_backend: pallas needs a TPU backend "
+                    "(CPU runs require pallas interpret mode); use "
+                    "rmi_backend: auto or xla"
+                )
+        from seghiero_tpu.parallel.mesh import DATA_AXIS
+
+        n_data = 1
+        if mesh is not None and not per_replica:
+            n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+                DATA_AXIS, 1
+            )
+        if n_data > 1 and B % n_data == 0:
+            # multi-chip pjit: run the kernel per-device on the local
+            # batch shard via a nested shard_map (the batch dimension is
+            # embarrassingly parallel; grads flow through the custom VJP
+            # exactly as in ddp mode)
+            if backend == "pallas" or rmi_gram_pallas_available(
+                H, W, radius, use_float64, per_replica=True
+            ):
+                from jax.sharding import PartitionSpec as P
+
+                local = functools.partial(
+                    rmi_logdet_pallas_cmajor,
+                    interpret=pallas_interpret,
+                    precision=precision,
+                )
+                half = jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,  # pallas outputs carry no vma metadata
+                )(oh_all, probs_masked)
+                return jnp.sum(jnp.mean(half, axis=0) / float(half_d))
+        elif backend == "pallas" or rmi_gram_pallas_available(
             H, W, radius, use_float64, per_replica=per_replica
         ):
             half = rmi_logdet_pallas_cmajor(
-                oh_all, probs_masked, interpret=pallas_interpret
+                oh_all, probs_masked, interpret=pallas_interpret,
+                precision=precision,
             )
             return jnp.sum(jnp.mean(half, axis=0) / float(half_d))
 
@@ -289,7 +358,9 @@ class FastRMIHieraTripletLoss:
     def __init__(self, hierarchy, rmi_radius=3, loss_weight_lambda=0.5,
                  loss_weight=1.0, upper_ids=None, lower_ids=None,
                  use_float64=False, axis_name: Optional[str] = None,
-                 rmi_streaming: str = "auto", rmi_backend: str = "auto"):
+                 rmi_streaming: str = "auto", rmi_backend: str = "auto",
+                 mesh=None, pallas_interpret: bool = False,
+                 rmi_precision: str = "parity"):
         self.h = hierarchy
         self.rmi_radius = rmi_radius
         self.loss_weight_lambda = loss_weight_lambda
@@ -300,6 +371,11 @@ class FastRMIHieraTripletLoss:
         self.axis_name = axis_name
         self.rmi_streaming = rmi_streaming
         self.rmi_backend = rmi_backend
+        # mesh enables the batch-parallel Pallas path under multi-chip
+        # pjit (nested shard_map; see rmi_lower_bound_cmajor)
+        self.mesh = mesh
+        self.pallas_interpret = pallas_interpret
+        self.rmi_precision = rmi_precision
 
     @property
     def schedule_total_steps(self):
@@ -342,6 +418,9 @@ class FastRMIHieraTripletLoss:
             # axis_name set ⇒ running per-replica inside shard_map (ddp):
             # the kernel sees local shards, so it stays usable multi-chip
             per_replica=self.axis_name is not None,
+            mesh=self.mesh,
+            pallas_interpret=self.pallas_interpret,
+            precision=self.rmi_precision,
         )
         loss = self.loss_weight_lambda * rmi + 0.5 * hiera
         loss += _ce_cmajor(lf[:, :nf], t_f, h.ignore_index)

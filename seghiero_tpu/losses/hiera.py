@@ -38,6 +38,15 @@ from seghiero_tpu.losses.tree_triplet import (
 # ---------------------------------------------------------------------------
 
 
+# Above this table size the unrolled compare-select chain switches to a
+# plain gather: the chain is O(len(lut)) fused VPU compares per pixel
+# (great for the ≤32-class configs it was profiled on; see below), but
+# at ADE20K scale (150+ fine classes) its per-pixel op count exceeds
+# what the ~3 GB/s TPU gather costs, and trace/compile time grows
+# linearly with the table. Overridable for experiments.
+LUT_UNROLL_MAX = 64
+
+
 def lut_lookup(lut, idx: jax.Array) -> jax.Array:
     """Apply a small static LUT to an index array WITHOUT a gather.
 
@@ -46,8 +55,17 @@ def lut_lookup(lut, idx: jax.Array) -> jax.Array:
     for the fine→coarse target LUT at 512²/b8. The unrolled
     compare-select chain over the (compile-time constant) table fuses
     into one elementwise pass at HBM bandwidth instead.
+
+    Tables longer than ``LUT_UNROLL_MAX`` fall back to the gather: the
+    chain's per-pixel compare count grows with the table while the
+    gather's cost is flat, so the chain loses at many-class scale
+    (and a 150-entry unroll also bloats the traced program).
     """
     lut = np.asarray(lut)
+    if len(lut) > LUT_UNROLL_MAX:
+        return jnp.take(
+            jnp.asarray(lut, jnp.int32), idx.astype(jnp.int32), axis=0
+        )
     out = jnp.full(idx.shape, int(lut[0]), dtype=jnp.int32)
     for i in range(1, len(lut)):
         out = jnp.where(idx == i, np.int32(lut[i]), out)

@@ -65,13 +65,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_tile_rows(nh: int) -> Tuple[int, int]:
-    """(TH, n_tiles): TH is a multiple of 8 (Mosaic requires 8-aligned
-    DMA slice shapes/offsets in the sublane dim) minimizing padded-row
-    waste; short tails are masked in-kernel."""
-    best = (8, -(-nh // 8))
-    best_waste = best[1] * 8 - nh
-    for th in range(8, 129, 8):
+def _pick_tile_rows(nh: int, sub: int = 8) -> Tuple[int, int]:
+    """(TH, n_tiles): TH is a multiple of ``sub`` (Mosaic requires
+    sublane-aligned DMA slice shapes/offsets: 8 rows for f32, 16 for
+    bf16) minimizing padded-row waste; short tails are masked
+    in-kernel."""
+    best = (sub, -(-nh // sub))
+    best_waste = best[1] * sub - nh
+    for th in range(sub, 129, sub):
         n_t = -(-nh // th)
         waste = n_t * th - nh
         if waste < best_waste or (waste == best_waste and th > best[0]):
@@ -114,10 +115,16 @@ def _build_z(band_la, band_pr, z_ref, valid_rows, TH: int, NW: int, W: int):
     Column shifts are lane ROTATES + mask, not offset slices — Mosaic
     cannot concatenate/store vectors with mismatched lane offsets
     ("result/input offset mismatch on non-concat dimension"), while
-    rolls keep every operand in the canonical aligned layout."""
+    rolls keep every operand in the canonical aligned layout.
+
+    ``z_ref.dtype`` may be bf16 (``rmi_precision: fast``): the bands and
+    the roll/mask arithmetic stay f32 — keeping every offset row slice
+    in the known-good f32 tiling — and only the z store downcasts, so
+    the MXU dots downstream run native-bf16 with f32 accumulators."""
     row_i = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
     col_i = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
     mask = (col_i < NW) & (row_i < valid_rows)
+    zdt = z_ref.dtype
     for dx in range(3):
         # left-rotate by dx == circular roll by W−dx (pltpu.roll requires
         # a non-negative shift)
@@ -125,8 +132,22 @@ def _build_z(band_la, band_pr, z_ref, valid_rows, TH: int, NW: int, W: int):
         pr_rot = pltpu.roll(band_pr, W - dx, 1) if dx else band_pr
         for dy in range(3):
             k = dy * 3 + dx
-            z_ref[k] = jnp.where(mask, la_rot[dy : dy + TH, :], 0.0)
-            z_ref[9 + k] = jnp.where(mask, pr_rot[dy : dy + TH, :], 0.0)
+            z_ref[k] = jnp.where(mask, la_rot[dy : dy + TH, :], 0.0).astype(zdt)
+            z_ref[9 + k] = jnp.where(mask, pr_rot[dy : dy + TH, :], 0.0).astype(zdt)
+
+
+def _gram_dot(a, b, contract_a, contract_b):
+    """Gram-style dot with f32 accumulation. f32 operands pin HIGHEST
+    precision (the parity arithmetic class); bf16 operands use the native
+    single-pass MXU mode — that IS the point of ``rmi_precision: fast``."""
+    prec = jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else None
+    return jax.lax.dot_general(
+        a,
+        b,
+        ((contract_a, contract_b), ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _gram18_kernel(
@@ -138,13 +159,7 @@ def _gram18_kernel(
     valid = jnp.minimum(TH, NH - t * TH)
     _build_z(band_la, band_pr, z_ref, valid, TH, NW, W)
     z = z_ref[:].reshape(18, TH * W)
-    g = jax.lax.dot_general(
-        z,
-        z,
-        (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    g = _gram_dot(z, z, (1,), (1,))
 
     @pl.when(t == 0)
     def _():
@@ -164,23 +179,12 @@ def _residual_kernel(
     valid = jnp.minimum(TH, NH - t * TH)
     _build_z(band_la, band_pr, z_ref, valid, TH, NW, W)
     z = z_ref[:].reshape(18, TH * W)
-    w = w_ref[0]  # [9, 9]
+    zdt = z_ref.dtype
+    w = w_ref[0].astype(zdt)  # [9, 9]
     # y = z_la − Wᵀ z_pr ;  (Wᵀ z_pr)[i] = Σ_j w[j, i] z_pr[j]
-    wz = jax.lax.dot_general(
-        w,
-        z[9:18],
-        (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    y = z[0:9] - wz
-    a = jax.lax.dot_general(
-        y,
-        y,
-        (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    wz = _gram_dot(w, z[9:18], (0,), (0,))
+    y = (z[0:9].astype(jnp.float32) - wz).astype(zdt)
+    a = _gram_dot(y, y, (1,), (1,))
 
     @pl.when(t == 0)
     def _():
@@ -207,13 +211,7 @@ def _grad_kernel(
     valid = jnp.minimum(TH, NH - t * TH)
     _build_z(band_la, band_pr, z_ref, valid, TH, NW, W)
     z = z_ref[:].reshape(18, TH * W)
-    u = jax.lax.dot_general(
-        p_ref[0],
-        z,
-        (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ).reshape(9, TH, W)
+    u = _gram_dot(p_ref[0].astype(z_ref.dtype), z, (1,), (0,)).reshape(9, TH, W)
     # overlap-add the 9 shifted contributions into a [TH+2, W] band.
     # Shifts are rolls + masks (see _build_z layout note).
     acc_ref[:] = jnp.zeros((TH + 8, W), jnp.float32)
@@ -252,7 +250,7 @@ def _map_specs(TH, W):
     return main, halo
 
 
-def _gram18(la, pr, TH, NW, NH, interpret):
+def _gram18(la, pr, TH, NW, NH, interpret, zdt=jnp.float32):
     BC, H, W = la.shape
     n_t = -(-NH // TH)
     main, halo = _map_specs(TH, W)
@@ -264,12 +262,12 @@ def _gram18(la, pr, TH, NW, NH, interpret):
         out_specs=pl.BlockSpec(
             (1, 18, 18), lambda bc, t: (bc, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((18, TH, W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((18, TH, W), zdt)],
         interpret=interpret,
     )(la, la, pr, pr)
 
 
-def _residual_gram(la, pr, w, TH, NW, NH, interpret):
+def _residual_gram(la, pr, w, TH, NW, NH, interpret, zdt=jnp.float32):
     BC, H, W = la.shape
     n_t = -(-NH // TH)
     main, halo = _map_specs(TH, W)
@@ -287,12 +285,12 @@ def _residual_gram(la, pr, w, TH, NW, NH, interpret):
         out_specs=pl.BlockSpec(
             (1, 9, 9), lambda bc, t: (bc, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((18, TH, W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((18, TH, W), zdt)],
         interpret=interpret,
     )(la, la, pr, pr, w)
 
 
-def _grad_maps(la, pr, p, TH, NW, NH, interpret):
+def _grad_maps(la, pr, p, TH, NW, NH, interpret, zdt=jnp.float32):
     BC, H, W = la.shape
     n_t = -(-NH // TH)
     main, halo = _map_specs(TH, W)
@@ -311,7 +309,7 @@ def _grad_maps(la, pr, p, TH, NW, NH, interpret):
             (1, H, W), lambda bc, t: (bc, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((18, TH, W), jnp.float32),
+            pltpu.VMEM((18, TH, W), zdt),
             pltpu.VMEM((TH + 8, W), jnp.float32),
         ],
         interpret=interpret,
@@ -361,16 +359,18 @@ def _half_logdet(oh, pr, cfg):
 
 
 def _half_logdet_fwd(oh, pr, cfg):
-    TH, NW, NH, n, interpret = cfg
-    g18 = _gram18(oh, pr, TH, NW, NH, interpret)
+    TH, NW, NH, n, interpret, zdt_name = cfg
+    zdt = jnp.dtype(zdt_name)
+    g18 = _gram18(oh, pr, TH, NW, NH, interpret, zdt)
     w = _solve_w(g18, n)
-    a_raw = _residual_gram(oh, pr, w, TH, NW, NH, interpret)
+    a_raw = _residual_gram(oh, pr, w, TH, NW, NH, interpret, zdt)
     half = _finish_logdet(a_raw, n)
     return half, (oh, pr, g18, w, a_raw)
 
 
 def _half_logdet_bwd(cfg, res, dhalf):
-    TH, NW, NH, n, interpret = cfg
+    TH, NW, NH, n, interpret, zdt_name = cfg
+    zdt = jnp.dtype(zdt_name)
     oh, pr, g18, w, a_raw = res
     # f2 (logdet) cotangent → dA_raw
     _, f2_vjp = jax.vjp(lambda a: _finish_logdet(a, n), a_raw)
@@ -387,7 +387,7 @@ def _half_logdet_bwd(cfg, res, dhalf):
     _, f1_vjp = jax.vjp(lambda g: _solve_w(g, n), g18)
     (dG18,) = f1_vjp(dw)
     R = (dG18 + jnp.swapaxes(dG18, -1, -2))[:, 9:, :]  # [BC, 9, 18]
-    dpr = _grad_maps(oh, pr, Q + R, TH, NW, NH, interpret)
+    dpr = _grad_maps(oh, pr, Q + R, TH, NW, NH, interpret, zdt)
     return jnp.zeros_like(oh), dpr
 
 
@@ -399,10 +399,17 @@ def rmi_logdet_pallas_cmajor(
     pr_map: jax.Array,  # [B, C, H, W] masked sigmoid probabilities
     *,
     interpret: bool = False,
+    precision: str = "parity",
 ) -> jax.Array:
     """[B, C] half-logdets — Pallas-accelerated ``_rmi_logdet_core``
     for radius 3, f32. See module docstring; equivalence is asserted in
-    tests/test_rmi_gram_pallas.py."""
+    tests/test_rmi_gram_pallas.py.
+
+    ``precision="fast"`` (``training.rmi_precision: fast``) stores the
+    in-kernel z views in bf16 and runs the Gram/residual/grad dots in
+    the MXU's native bf16 single-pass mode with f32 accumulators; the
+    18×18/9×9 Grams, the solve, and the logdet stay f32. Opt-in:
+    relaxes parity tolerances (see tests) for kernel speed."""
     B, C, H, W = pr_map.shape
     nh, nw = H - 2, W - 2
     n = nh * nw
@@ -415,6 +422,7 @@ def rmi_logdet_pallas_cmajor(
         pad = ((0, 0), (0, max(0, Hp - H)), (0, Wp - W))
         oh = jnp.pad(oh, pad)
         pr = jnp.pad(pr, pad)
-    cfg = (TH, nw, nh, n, interpret)
+    zdt_name = "bfloat16" if precision == "fast" else "float32"
+    cfg = (TH, nw, nh, n, interpret, zdt_name)
     half = _half_logdet(oh, pr, cfg)
     return half.reshape(B, C)
