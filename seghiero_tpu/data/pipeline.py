@@ -262,4 +262,13 @@ class GrainBatchLoader:
     def _put(self, batch: Dict[str, np.ndarray]):
         if self.sharding is None:
             return batch
+        if self.proc_count > 1:
+            # each process holds only ITS record shard (host_batch rows);
+            # assemble the global array from the per-process local data —
+            # a plain device_put cannot target devices this process does
+            # not own
+            return {
+                k: jax.make_array_from_process_local_data(self.sharding, v)
+                for k, v in batch.items()
+            }
         return jax.device_put(batch, self.sharding)

@@ -183,6 +183,13 @@ class Predictor:
         images_u8 [B, H, W, 3]; window/stride in pixels (stride defaults
         to half the window). Window positions are static per input shape
         (one jit specialization per geometry).
+
+        The whole sweep — every window forward, the overlap-add into the
+        [B, C, H, W] logit accumulator, and the per-level argmax — runs
+        as ONE jitted device program: the image transfers to the device
+        once and only the small int32 masks come back (a host-side
+        accumulator would move the full-res f32 logits across the relay
+        once per tile, ~2 GB at 1024²+, and crawl).
         """
         B, H, W = images_u8.shape[:3]
         wh, ww = window
@@ -196,28 +203,53 @@ class Predictor:
                 s.append(total - win)
             return s
 
-        h = self.cfg.hierarchy
-        logit_sum = np.zeros((B, h.total_classes, H, W), np.float32)
-        counts = np.zeros((1, 1, H, W), np.float32)
+        ys, xs = starts(H, wh, sh), starts(W, ww, sw)
+        run = self._sliding_program(B, H, W, wh, ww, tuple(ys), tuple(xs))
         variables = jax.device_put(self.variables, replicated_sharding(self.mesh))
-        for y0 in starts(H, wh, sh):
-            for x0 in starts(W, ww, sw):
-                tile = np.ascontiguousarray(
-                    images_u8[:, y0 : y0 + wh, x0 : x0 + ww]
-                )
-                tile_d = jax.device_put(tile, batch_sharding(self.mesh))
-                _, logits = self._predict(variables, tile_d, (wh, ww))
-                logit_sum[:, :, y0 : y0 + wh, x0 : x0 + ww] += np.asarray(logits)
-                counts[:, :, y0 : y0 + wh, x0 : x0 + ww] += 1.0
-        logits = logit_sum / counts
-        out = {}
-        for lvl, (lo, hi) in zip(("fine", "coarse", "super"), h.level_slices):
-            out[lvl] = np.argmax(logits[:, lo:hi], axis=1).astype(np.int32)
+        images = jax.device_put(images_u8, batch_sharding(self.mesh))
+        preds = jax.device_get(run(variables, images))
+        h = self.cfg.hierarchy
+        out = {k: np.asarray(v) for k, v in preds.items()}
         if consistent:
             out["coarse"] = h.fine_to_coarse[out["fine"]].astype(np.int32)
             if h.has_super:
                 out["super"] = h.fine_to_super[out["fine"]].astype(np.int32)
         return out
+
+    def _sliding_program(self, B, H, W, wh, ww, ys, xs):
+        """Jitted sweep for one geometry (cached: repeated calls with the
+        same shapes reuse the compiled program)."""
+        key = (B, H, W, wh, ww, ys, xs)
+        cache = getattr(self, "_sliding_cache", None)
+        if cache is None:
+            cache = self._sliding_cache = {}
+        if key in cache:
+            return cache[key]
+        h = self.cfg.hierarchy
+        slices = dict(zip(("fine", "coarse", "super"), h.level_slices))
+        if not h.has_super:
+            slices.pop("super", None)
+
+        @jax.jit
+        def run(variables, images_u8):
+            total = jnp.zeros((B, h.total_classes, H, W), jnp.float32)
+            counts = jnp.zeros((H, W), jnp.float32)
+            for y0 in ys:
+                for x0 in xs:
+                    tile = jax.lax.dynamic_slice(
+                        images_u8, (0, y0, x0, 0), (B, wh, ww, 3)
+                    )
+                    _, logits = self._predict(variables, tile, (wh, ww))
+                    total = total.at[:, :, y0 : y0 + wh, x0 : x0 + ww].add(logits)
+                    counts = counts.at[y0 : y0 + wh, x0 : x0 + ww].add(1.0)
+            logits = total / counts
+            return {
+                lvl: jnp.argmax(logits[:, lo:hi], axis=1).astype(jnp.int32)
+                for lvl, (lo, hi) in slices.items()
+            }
+
+        cache[key] = run
+        return run
 
     def predict_image(
         self, path: str, consistent: bool = False
