@@ -50,7 +50,7 @@ BENCH_CONFIGS = {
 }
 
 
-def build(cfg_id: int, steps: int, dtype: str):
+def build(cfg_id: int, steps: int, dtype: str, rmi_precision: str = "parity"):
     import jax
     import jax.numpy as jnp
 
@@ -72,6 +72,7 @@ def build(cfg_id: int, steps: int, dtype: str):
                 "lr": 0.001,
                 "log_every": 10**9,
                 "mesh": {"data": n_dev},
+                "rmi_precision": rmi_precision,
             },
             "transform": {"resize": [spec["hw"], spec["hw"]], "hflip_prob": 0.5},
             "output": {"checkpoint_dir": "/tmp/bench_ckpt", "project_name": "bench"},
@@ -158,6 +159,13 @@ def main():
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument(
+        "--rmi-precision",
+        type=str,
+        default="parity",
+        choices=("parity", "fast"),
+        help="training.rmi_precision for 3-level configs (bf16 Gram mode)",
+    )
+    p.add_argument(
         "--dry-run", action="store_true", help="tiny shapes, CPU-safe smoke run"
     )
     p.add_argument("--all", action="store_true", help="(default) run every config")
@@ -178,7 +186,9 @@ def main():
     cfg_ids = sorted(BENCH_CONFIGS) if run_all else [args.config]
     results = {}
     for cid in cfg_ids:
-        trainer, batch, spec, global_batch = build(cid, args.steps, args.dtype)
+        trainer, batch, spec, global_batch = build(
+            cid, args.steps, args.dtype, args.rmi_precision
+        )
         n_chips = trainer.mesh.devices.size
         if spec["mode"] == "train":
             dt, loss = run_train_bench(trainer, batch, args.steps)
