@@ -36,13 +36,27 @@ back to ``lax.conv_general_dilated``. Like ops/pallas/rmi_gram.py, the
 custom call cannot be SPMD-partitioned, so multi-device pjit also falls
 back (ddp/shard_map contexts pass ``per_replica=True``).
 
-Status: MEASURED AND DEFAULT OFF. On a v5e at 512²/b8 the kernels
-total 6.4 ms/step vs the 4.6 ms of XLA grouped convs they replace, and
-the step regresses 37.9 → 47.2 ms: the custom-call boundary also breaks
-XLA's fusion of the conv with its surrounding BN/ReLU elementwise
-chains (+6.7 ms of loop fusions + pad passes). The "slow" 2–4 TF/s the
-grouped convs show in isolation is already amortized by fusion in the
-full program. Kept as a correct, tested kernel (opt-in via
+Status: MEASURED AND DEFAULT OFF (round 1 AND round 2 verdicts).
+
+Round 1: TH=8 with full-tile top/bottom halo blocks (3× DMA read
+amplification) totalled 6.4 ms/step vs the 4.6 ms of XLA grouped convs
+replaced; the custom-call boundary also broke XLA's conv↔BN/ReLU
+fusions (+6.7 ms) and the step regressed 37.9 → 47.2 ms.
+
+Round 2 (this version): TH=32 with 8-row halo blocks (1.5× reads, 4×
+fewer grid invocations). In a fwd+bwd chain microbenchmark at the hot
+[8, 128, 128, 512] bf16 shape WITH the affine+ReLU context included
+(so fusion effects are priced in): XLA grouped conv 3.1 ms, this
+kernel 4.2 ms (bit-exact outputs). Root cause is structural, not
+tuning: on the VPU the 9 taps cost ≈9·N f32 fma+select (~1.5–2× the
+HBM floor at VPU throughput) while XLA maps them onto the MXU; the
+estimated PERFECT VPU kernel (~2 ms) would save ≤1 ms/step across both
+128² instances. A chain kernel subsuming the whole
+depthwise→BN→ReLU→pointwise→BN→ReLU sequence cannot do better in
+training mode either: the two BatchNorm batch-stat reductions are
+cross-tile barriers, forcing the same 3-pass HBM schedule XLA already
+emits (each pass of which the profile shows near the bandwidth
+roofline). Kept as a correct, tested kernel (opt-in via
 ``DepthwiseConv(use_pallas=True)``) and as the recorded experiment —
 the same verdict as ops/pallas/hiera2_fused.py.
 
@@ -60,7 +74,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TH = 8  # row-tile = block unit; halo blocks are the neighbors
+TH = 32  # row-tile = main-block unit (round 1 used 8: 3× DMA read
+# amplification from full-tile top/bottom halos and 4× the grid
+# invocations; round 2 uses 8-row halo blocks — (TH+16)/TH = 1.5× reads)
+HB = 8  # halo block height (minimum sublane-aligned DMA)
 CB = 128  # channel block (one lane group) — bounds VMEM: f32 compute
 # intermediates at full C=560 blew the 16 MB scoped-vmem budget (22 MB);
 # depthwise is channel-separable, so the grid also walks 128-lane chunks
@@ -98,7 +115,7 @@ def _taps(band, W):
 
 def _fwd_kernel(top, main, bot, k_ref, out_ref, *, W):
     band = jnp.concatenate(
-        [top[0, TH - 1 :], main[0], bot[0, :1]], axis=0
+        [top[0, HB - 1 :], main[0], bot[0, :1]], axis=0
     ).astype(jnp.float32)  # [TH+2, W, C]
     k = k_ref[:].astype(jnp.float32)  # [9, C]
     acc = jnp.zeros(main.shape[1:], jnp.float32)
@@ -117,7 +134,7 @@ def _wgrad_kernel(top, main, bot, g_ref, dk_ref, *, W):
         dk_ref[:] = jnp.zeros_like(dk_ref)
 
     band = jnp.concatenate(
-        [top[0, TH - 1 :], main[0], bot[0, :1]], axis=0
+        [top[0, HB - 1 :], main[0], bot[0, :1]], axis=0
     ).astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)  # [TH, W, C]
     for dy, dx, shifted, mask in _taps(band, W):
@@ -128,21 +145,40 @@ def _wgrad_kernel(top, main, bot, g_ref, dk_ref, *, W):
 
 
 def _pad_rows(x):
-    return jnp.pad(x, ((0, 0), (TH, TH), (0, 0), (0, 0)))
+    """TH rows of zeros on top (one full main block, so main tile t sits
+    at block index t+1) and HB at the bottom (the last tile's bottom
+    halo block must exist)."""
+    return jnp.pad(x, ((0, 0), (TH, HB), (0, 0), (0, 0)))
 
 
 def _specs(W):
-    """(top, main, bottom) views of the row-padded input: uniform
-    (1, TH, W, CB) blocks at row-block indices t, t+1, t+2 and channel
-    chunk c. Grid order is (c, b, t) — channels OUTERMOST so the wgrad
+    """(top-halo, main, bottom-halo) views of the row-padded input.
+
+    Main is a (1, TH, W, CB) block at row-block index t+1 (x tile t =
+    xp rows [TH + t·TH, TH + (t+1)·TH)); the halos are 8-row blocks
+    hugging the main block's edges — (t+1)·(TH/HB) − 1 ends exactly at
+    the main start, (t+2)·(TH/HB) starts at the main end. Only 1 row of
+    each 8-row halo is used, so the DMA read amplification is
+    (TH + 2·HB)/TH (1.5× at TH=32) instead of round 1's 3× full-tile
+    halos. Grid order is (c, b, t) — channels OUTERMOST so the wgrad
     output block for chunk c stays resident across its whole (b, t)
     sweep (Pallas only guarantees output-block accumulation across
     consecutive grid steps)."""
-    mk = lambda off: pl.BlockSpec(
-        (1, TH, W, CB), lambda c, b, t, o=off: (b, t + o, 0, c),
+    main = pl.BlockSpec(
+        (1, TH, W, CB), lambda c, b, t: (b, t + 1, 0, c),
         memory_space=pltpu.VMEM,
     )
-    return mk(0), mk(1), mk(2)
+    top = pl.BlockSpec(
+        (1, HB, W, CB),
+        lambda c, b, t: (b, (t + 1) * (TH // HB) - 1, 0, c),
+        memory_space=pltpu.VMEM,
+    )
+    bot = pl.BlockSpec(
+        (1, HB, W, CB),
+        lambda c, b, t: (b, (t + 2) * (TH // HB), 0, c),
+        memory_space=pltpu.VMEM,
+    )
+    return top, main, bot
 
 
 def _dw_raw(x, k9, interpret):
