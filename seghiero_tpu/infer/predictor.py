@@ -123,6 +123,21 @@ class Predictor:
             opt_state=tx.init(template_vars["params"]),
         )
         mngr = CheckpointManager(cfg.output.checkpoint_dir, cfg.output.project_name)
+        if checkpoint and not os.path.isdir(os.path.join(checkpoint, "state")):
+            # a manager ROOT (contains step_*/ and best.json) instead of
+            # one step dir: restore its best checkpoint — common when a
+            # user passes output.checkpoint_dir/<project> wholesale
+            entries = (
+                os.listdir(checkpoint) if os.path.isdir(checkpoint) else []
+            )
+            if "best.json" in entries or any(
+                e.startswith("step_") for e in entries
+            ):
+                mngr = CheckpointManager(
+                    os.path.dirname(checkpoint.rstrip("/")),
+                    os.path.basename(checkpoint.rstrip("/")),
+                )
+                checkpoint = None
         if checkpoint:
             state = mngr._ckptr.restore(os.path.join(checkpoint, "state"), template)
         else:

@@ -225,8 +225,17 @@ def rmi_lower_bound_cmajor(
 
         n_data = 1
         if mesh is not None and not per_replica:
-            n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
-                DATA_AXIS, 1
+            n_data = mesh.shape.get(DATA_AXIS, 1)
+        if backend == "pallas" and n_data > 1 and B % n_data:
+            # the shard_map wrapper below is the ONLY way the kernel can
+            # run under multi-chip pjit (the SPMD partitioner cannot
+            # split a custom call); an indivisible batch would reach the
+            # unsharded call and die deep inside the partitioner
+            raise ValueError(
+                "training.rmi_backend: pallas under multi-chip pjit needs "
+                f"the global batch ({B}) divisible by the data-axis size "
+                f"({n_data}); adjust batch_size or use rmi_backend: auto "
+                "or xla"
             )
         if n_data > 1 and B % n_data == 0:
             # multi-chip pjit: run the kernel per-device on the local

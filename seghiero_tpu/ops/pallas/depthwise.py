@@ -234,7 +234,8 @@ def _dw_wgrad(x, g, interpret):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def depthwise3x3(x, k9, interpret=False):
     """Depthwise 3×3/s1 'same' conv; x [B, H, W, C], k9 [9, C] (taps in
-    row-major (dy, dx) order). H is padded to a multiple of 8 internally."""
+    row-major (dy, dx) order). H is padded to a multiple of TH (=32, the
+    row-tile height) internally — up to TH−1 wasted rows on odd sizes."""
     out, _ = _dw_fwd(x, k9, interpret)
     return out
 

@@ -413,7 +413,10 @@ def rmi_logdet_pallas_cmajor(
     B, C, H, W = pr_map.shape
     nh, nw = H - 2, W - 2
     n = nh * nw
-    TH, n_t = _pick_tile_rows(nh)
+    # the z scratch is [18, TH, W] in zdt: its sublane dim TH must be
+    # 8-aligned for f32 tiles but 16-aligned for bf16 (Mosaic (16,128)
+    # tiling) — fast mode therefore picks TH from multiples of 16
+    TH, n_t = _pick_tile_rows(nh, sub=16 if precision == "fast" else 8)
     Hp = n_t * TH + 8  # band DMAs read [t·TH, t·TH+TH+8)
     Wp = _round_up(W, 128)
     oh = jax.lax.stop_gradient(oh_map).astype(jnp.float32).reshape(B * C, H, W)

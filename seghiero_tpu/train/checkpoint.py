@@ -134,7 +134,22 @@ class CheckpointManager:
         return self.restore(steps[-1], target_state)
 
     def restore_best(self, target_state) -> Optional[Tuple[Any, Dict]]:
+        """Restore the best checkpoint, falling back to the latest
+        COMMITTED one. The fallback matters: ``save(is_best=True)``
+        writes ``best.json`` while the async state save is still in
+        flight, so a crash inside that commit window leaves the pointer
+        at a step whose ``state/`` dir never materialized — without the
+        guard every later restore would fail permanently."""
+        self._ckptr.wait_until_finished()  # the best save may be in flight
         best = self._best_step()
-        if best is None:
-            return self.restore_latest(target_state)
-        return self.restore(best, target_state)
+        if best is not None:
+            if os.path.isdir(os.path.join(self._step_dir(best), "state")):
+                return self.restore(best, target_state)
+            import warnings
+
+            warnings.warn(
+                f"best.json points at step {best} whose state was never "
+                "committed (crash during an async save); falling back to "
+                "the latest complete checkpoint"
+            )
+        return self.restore_latest(target_state)

@@ -489,7 +489,11 @@ class Trainer:
                 timer = StepTimer()
                 self.train_loader.set_epoch(epoch)
                 running = 0.0
-                step_losses = []  # device scalars; ONE host sync at epoch end
+                # device-side running sum: O(1) memory, one async scalar
+                # add per step, ONE host sync at epoch end (a list of
+                # per-step scalars would pin n_train buffers and stack
+                # them into an n_train-operand concat HLO)
+                loss_sum, loss_n = jnp.zeros((), jnp.float32), 0
                 t0 = time.perf_counter()
                 iterator = enumerate(self.train_loader)
                 pbar = None
@@ -508,7 +512,7 @@ class Trainer:
                     self.state, m = self._train_step(
                         self.state, batch, jnp.asarray(epoch)
                     )
-                    step_losses.append(m["loss"])
+                    loss_sum, loss_n = loss_sum + m["loss"], loss_n + 1
                     timer.tick(cfg.training.batch_size)
                     if pbar is not None:
                         pbar.update(1)
@@ -531,11 +535,7 @@ class Trainer:
                 train_time = time.perf_counter() - t0
                 # true epoch average (train.py:403-414 averages over the
                 # epoch; `running` is only the last logged step's loss)
-                train_loss = (
-                    float(np.mean(jax.device_get(jnp.stack(step_losses))))
-                    if step_losses
-                    else running
-                )
+                train_loss = float(loss_sum) / loss_n if loss_n else running
 
                 val = self.evaluate()
                 record = {

@@ -208,3 +208,29 @@ def test_fast_3level_pallas_backend_matches_xla(rng, classes_3level):
     finally:
         fast_mod.rmi_lower_bound_cmajor = orig
     np.testing.assert_allclose(pal, xla, rtol=2e-4)
+
+
+def test_forced_pallas_validation_errors(rng, classes_3level):
+    """rmi_backend: pallas fails LOUDLY on unsupported configurations
+    instead of computing wrong statistics or dying inside the
+    partitioner (losses/fast.py validation block)."""
+    from seghiero_tpu.losses.fast import rmi_lower_bound_cmajor
+    from seghiero_tpu.parallel.mesh import make_mesh
+
+    oh = jnp.zeros((6, 4, 16, 16), jnp.float32)
+    pr = jnp.zeros((6, 4, 16, 16), jnp.float32)
+
+    with pytest.raises(ValueError, match="rmi_radius == 3"):
+        rmi_lower_bound_cmajor(oh, pr, radius=5, backend="pallas")
+    with pytest.raises(ValueError, match="f32-only"):
+        rmi_lower_bound_cmajor(oh, pr, use_float64=True, backend="pallas")
+    with pytest.raises(ValueError, match="TPU backend"):
+        rmi_lower_bound_cmajor(oh, pr, backend="pallas")  # CPU, no interpret
+    # multi-chip pjit with a batch the data axis cannot split: the
+    # shard_map wrapper is unusable and the unsharded custom call would
+    # die inside the SPMD partitioner
+    mesh = make_mesh({"data": 8})
+    with pytest.raises(ValueError, match="divisible by the data-axis"):
+        rmi_lower_bound_cmajor(
+            oh, pr, backend="pallas", pallas_interpret=True, mesh=mesh
+        )

@@ -125,3 +125,28 @@ def test_grad_accumulation_updates_every_k(classes_2level, tmp_path):
     s2, _ = trainer._train_step(s1, batch, jnp.asarray(0))
     p2 = jax.device_get(s2.params["head"]["cls_seg"]["bias"])
     assert not np.array_equal(p2, p1)  # second micro-batch applies it
+
+
+def test_restore_best_falls_back_on_orphaned_pointer(classes_2level, tmp_path):
+    """A crash inside the async-save commit window leaves best.json
+    pointing at a step with no committed state/ dir; restore_best must
+    fall back to the latest COMPLETE checkpoint instead of failing
+    permanently (checkpoint.py:restore_best)."""
+    import json
+    import os
+
+    cfg = tiny_config(classes_2level, tmp_path, epochs=1, size=4)
+    trainer = Trainer(cfg, verbose=False)
+    trainer.fit()
+    trainer.ckpt.wait()
+    root = trainer.ckpt.root
+    committed = trainer.ckpt._existing_steps()
+    assert committed
+    # simulate the crash: best.json points at a step that never committed
+    with open(os.path.join(root, "best.json"), "w") as f:
+        json.dump({"step": committed[-1] + 99}, f)
+    with pytest.warns(UserWarning, match="never.*committed"):
+        restored = trainer.ckpt.restore_best(trainer.state)
+    assert restored is not None
+    _, meta = restored
+    assert meta["step"] == committed[-1]

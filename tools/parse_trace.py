@@ -27,7 +27,9 @@ def load_events(path: str):
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as f:
         data = json.load(f)
-    return data.get("traceEvents", data if isinstance(data, list) else [])
+    if isinstance(data, list):  # Chrome trace "JSON Array Format"
+        return data
+    return data.get("traceEvents", [])
 
 
 def main() -> int:
