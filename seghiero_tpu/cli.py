@@ -78,7 +78,6 @@ def infer_main(argv=None) -> int:
     p.add_argument(
         "--image",
         type=str,
-        required=True,
         action="append",
         help="Input image path (repeatable for batched inference)",
     )
@@ -102,7 +101,18 @@ def infer_main(argv=None) -> int:
         "hierarchy (guaranteed tree-consistent; extension — the reference "
         "argmaxes each level independently)",
     )
+    p.add_argument(
+        "--export",
+        type=str,
+        default=None,
+        metavar="DIR",
+        help="instead of running on images, serialize a self-contained "
+        "batch-polymorphic serving artifact (StableHLO via jax.export) "
+        "to DIR; see seghiero_tpu/infer/export.py",
+    )
     args = p.parse_args(argv)
+    if not args.image and not args.export:
+        p.error("one of --image or --export is required")
 
     from seghiero_tpu.config import load_config
     from seghiero_tpu.infer.predictor import Predictor
@@ -114,6 +124,17 @@ def infer_main(argv=None) -> int:
         print(f"→ --device {args.device!r} ignored (JAX selects devices)")
 
     predictor = Predictor.from_checkpoint(cfg, args.checkpoint)
+    if args.export:
+        from seghiero_tpu.infer.export import export_predictor
+
+        meta = export_predictor(predictor, args.export, consistent=args.consistent)
+        print(
+            f"→ Exported serving artifact to {args.export} "
+            f"(platforms: {', '.join(meta['platforms'])}; "
+            f"input {meta['input']['shape']})"
+        )
+        if not args.image:
+            return 0
     for image_path in args.image:
         preds, _ = predictor.predict_image(image_path, consistent=args.consistent)
         base = os.path.splitext(os.path.basename(image_path))[0]

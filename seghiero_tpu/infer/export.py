@@ -1,0 +1,157 @@
+"""Serving export: serialize the predictor into a portable artifact.
+
+TPU-native serving story (extension — the reference has no serving path:
+its infer.py rebuilds the model from Python source and a torch ``.pth``
+on every run, infer.py:253-279). ``jax.export`` captures the traced
+StableHLO of the prediction function together with its calling
+convention. The resulting artifact
+
+  * is self-contained: the weights are embedded as constants, so a
+    serving process needs NO model code, NO checkpoint, NO config —
+    only ``load_exported``/``jax.export.deserialize``;
+  * is batch-polymorphic: the batch dimension is exported symbolically,
+    so ONE artifact serves any batch size (shape-specialized compiles
+    are cached per batch by jax as usual);
+  * can target several platforms in one artifact (e.g. tpu + cpu), and
+    carries jax.export's cross-version compatibility guarantees.
+
+On-disk layout (a directory):
+  ``model.jaxexp``  the serialized ``jax.export.Exported`` bytes
+  ``meta.json``     input spec, levels, class names — for frontends
+
+CLI: ``python infer.py --config … --checkpoint … --export <dir>``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seghiero_tpu.data.pipeline import normalize_images
+
+ARTIFACT_NAME = "model.jaxexp"
+META_NAME = "meta.json"
+
+
+def export_predictor(
+    predictor,
+    out_dir: str,
+    *,
+    input_hw: Optional[Tuple[int, int]] = None,
+    out_hw: Optional[Tuple[int, int]] = None,
+    platforms: Optional[Sequence[str]] = None,
+    consistent: bool = False,
+) -> Dict:
+    """Serialize ``predictor`` to ``out_dir``; returns the meta dict.
+
+    The exported function maps uint8 images ``[b, H, W, 3]`` (symbolic
+    batch ``b``) to per-level int32 masks ``[b, out_h, out_w]`` — the
+    same math as ``Predictor.predict_array`` (normalize → forward →
+    C-major bilinear upsample → per-level argmax, infer.py:281-312),
+    with the ``consistent`` hierarchy decode optionally baked in.
+
+    ``input_hw`` defaults to the config's ``transform.resize`` (the
+    shape the model was trained at); ``out_hw`` defaults to
+    ``input_hw``. ``platforms`` defaults to the current backend plus
+    cpu (cross-platform lowering needs no tpu attached).
+    """
+    cfg = predictor.cfg
+    h = cfg.hierarchy
+    input_hw = tuple(input_hw or cfg.transform.resize or ())
+    if len(input_hw) != 2:
+        raise ValueError(
+            "export needs a static input size: pass input_hw or set "
+            "transform.resize in the config"
+        )
+    out_hw = tuple(out_hw or input_hw)
+    if platforms is None:
+        backend = jax.default_backend()
+        platforms = (backend, "cpu") if backend != "cpu" else ("cpu",)
+
+    # weights as host constants → embedded in the artifact
+    variables = jax.device_get(predictor.variables)
+    model = predictor.model
+    slices = dict(zip(("fine", "coarse", "super"), h.level_slices))
+    if not h.has_super:
+        slices.pop("super", None)
+    mean, std = cfg.transform.normalize_mean, cfg.transform.normalize_std
+    f2c = np.asarray(h.fine_to_coarse, np.int32)
+    f2s = np.asarray(h.fine_to_super, np.int32) if h.has_super else None
+
+    def serve(images_u8):
+        images = normalize_images(images_u8, mean, std)
+        out = model.apply(variables, images, train=False)
+        lo = jnp.transpose(out["logits"], (0, 3, 1, 2))  # C-major argmax
+        b, c = lo.shape[:2]
+        logits = jax.image.resize(
+            lo, (b, c, out_hw[0], out_hw[1]), "linear", antialias=False
+        )
+        preds = {
+            lvl: jnp.argmax(logits[:, lo_:hi_], axis=1).astype(jnp.int32)
+            for lvl, (lo_, hi_) in slices.items()
+        }
+        if consistent:
+            preds["coarse"] = jnp.asarray(f2c)[preds["fine"]]
+            if f2s is not None:
+                preds["super"] = jnp.asarray(f2s)[preds["fine"]]
+        return preds
+
+    (bdim,) = jax.export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((bdim, input_hw[0], input_hw[1], 3), jnp.uint8)
+    exported = jax.export.export(jax.jit(serve), platforms=list(platforms))(spec)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, ARTIFACT_NAME), "wb") as f:
+        f.write(exported.serialize())
+    meta = {
+        "input": {
+            "shape": ["b", input_hw[0], input_hw[1], 3],
+            "dtype": "uint8",
+            "layout": "NHWC (RGB)",
+        },
+        "outputs": {
+            lvl: {"shape": ["b", out_hw[0], out_hw[1]], "dtype": "int32"}
+            for lvl in slices
+        },
+        "levels": {
+            "fine": h.n_fine,
+            "coarse": h.n_coarse,
+            **({"super": h.n_super} if h.has_super else {}),
+        },
+        "class_names": {
+            "fine": [cfg.fine_names[i] for i in sorted(cfg.fine_names)],
+            "coarse": [cfg.coarse_names[i] for i in sorted(cfg.coarse_names)],
+            **(
+                {"super": [cfg.super_names[i] for i in sorted(cfg.super_names)]}
+                if h.has_super
+                else {}
+            ),
+        },
+        "consistent_decode": bool(consistent),
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, META_NAME), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+def load_exported(path: str):
+    """Load a serving artifact (directory from ``export_predictor`` or a
+    bare ``.jaxexp`` file) → ``jax.export.Exported``. Call it via
+    ``serve_masks`` or ``exported.call(images_u8)``."""
+    if os.path.isdir(path):
+        path = os.path.join(path, ARTIFACT_NAME)
+    with open(path, "rb") as f:
+        return jax.export.deserialize(bytearray(f.read()))
+
+
+def serve_masks(exported, images_u8: np.ndarray) -> Dict[str, np.ndarray]:
+    """Run the artifact on a uint8 batch → {level: int32 [B, H, W]}."""
+    preds = jax.jit(exported.call)(jnp.asarray(images_u8, jnp.uint8))
+    return {k: np.asarray(v) for k, v in preds.items()}
