@@ -102,6 +102,19 @@ def infer_main(argv=None) -> int:
         "argmaxes each level independently)",
     )
     p.add_argument(
+        "--tta",
+        action="store_true",
+        help="multi-scale + horizontal-flip test-time augmentation "
+        "ensemble (softmax-averaged; extension — standard DeepLab "
+        "eval protocol)",
+    )
+    p.add_argument(
+        "--tta-scales",
+        type=str,
+        default="0.75,1.0,1.25",
+        help="comma-separated scales for --tta",
+    )
+    p.add_argument(
         "--export",
         type=str,
         default=None,
@@ -136,7 +149,20 @@ def infer_main(argv=None) -> int:
         if not args.image:
             return 0
     for image_path in args.image:
-        preds, _ = predictor.predict_image(image_path, consistent=args.consistent)
+        if args.tta:
+            from seghiero_tpu.infer.predictor import preprocess_image
+
+            arr, orig_hw, _ = preprocess_image(image_path, cfg.transform.resize)
+            scales = tuple(float(s) for s in args.tta_scales.split(","))
+            preds = predictor.predict_tta(
+                arr[None], scales=scales, out_hw=orig_hw,
+                consistent=args.consistent,
+            )
+            preds = {k: v[0] for k, v in preds.items()}
+        else:
+            preds, _ = predictor.predict_image(
+                image_path, consistent=args.consistent
+            )
         base = os.path.splitext(os.path.basename(image_path))[0]
         for path in predictor.export_masks(preds, args.output_dir, base):
             print(f"→ Saved {path}")

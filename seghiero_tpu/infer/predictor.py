@@ -266,6 +266,90 @@ class Predictor:
         cache[key] = run
         return run
 
+    def predict_tta(
+        self,
+        images_u8: np.ndarray,
+        scales: Tuple[float, ...] = (0.75, 1.0, 1.25),
+        flip: bool = True,
+        out_hw: Optional[Tuple[int, int]] = None,
+        consistent: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Multi-scale + horizontal-flip test-time augmentation
+        (extension — the reference has single-view inference only,
+        infer.py:291-312; this is the standard DeepLab eval protocol):
+        every scaled (and mirrored) view is forwarded, the per-level
+        SOFTMAX probabilities are averaged at the output resolution,
+        then argmaxed. The whole ensemble runs as one jitted device
+        program per (shape, scales, flip) geometry — each view adds a
+        conv-graph specialization on first use."""
+        B, H, W = images_u8.shape[:3]
+        out_hw = tuple(out_hw or (H, W))
+        run = self._tta_program(B, H, W, tuple(scales), bool(flip), out_hw)
+        variables = jax.device_put(self.variables, replicated_sharding(self.mesh))
+        images = jax.device_put(images_u8, batch_sharding(self.mesh))
+        out = {k: np.asarray(v) for k, v in jax.device_get(run(variables, images)).items()}
+        if consistent:
+            h = self.cfg.hierarchy
+            out["coarse"] = h.fine_to_coarse[out["fine"]].astype(np.int32)
+            if h.has_super:
+                out["super"] = h.fine_to_super[out["fine"]].astype(np.int32)
+        return out
+
+    def _tta_program(self, B, H, W, scales, flip, out_hw):
+        key = ("tta", B, H, W, scales, flip, out_hw)
+        cache = getattr(self, "_sliding_cache", None)
+        if cache is None:
+            cache = self._sliding_cache = {}
+        if key in cache:
+            return cache[key]
+        h = self.cfg.hierarchy
+        slices = dict(zip(("fine", "coarse", "super"), h.level_slices))
+        if not h.has_super:
+            slices.pop("super", None)
+        mean, std = self.cfg.transform.normalize_mean, self.cfg.transform.normalize_std
+
+        @jax.jit
+        def run(variables, images_u8):
+            base = normalize_images(images_u8, mean, std)
+            acc = jnp.zeros(
+                (B, h.total_classes, out_hw[0], out_hw[1]), jnp.float32
+            )
+            for s in scales:
+                hs, ws = max(int(round(H * s)), 32), max(int(round(W * s)), 32)
+                view = (
+                    base
+                    if (hs, ws) == (H, W)
+                    else jax.image.resize(
+                        base, (B, hs, ws, 3), "linear", antialias=False
+                    )
+                )
+                for mirrored in (False, True) if flip else (False,):
+                    x = view[:, :, ::-1] if mirrored else view
+                    out = self.model.apply(variables, x, train=False)
+                    lo = jnp.transpose(out["logits"], (0, 3, 1, 2))
+                    logits = jax.image.resize(
+                        lo,
+                        (B, h.total_classes, out_hw[0], out_hw[1]),
+                        "linear",
+                        antialias=False,
+                    )
+                    if mirrored:
+                        logits = logits[:, :, :, ::-1]
+                    acc = acc + jnp.concatenate(
+                        [
+                            jax.nn.softmax(logits[:, lo_:hi_], axis=1)
+                            for lo_, hi_ in slices.values()
+                        ],
+                        axis=1,
+                    )
+            return {
+                lvl: jnp.argmax(acc[:, lo_:hi_], axis=1).astype(jnp.int32)
+                for lvl, (lo_, hi_) in slices.items()
+            }
+
+        cache[key] = run
+        return run
+
     def predict_image(
         self, path: str, consistent: bool = False
     ) -> Tuple[Dict[str, np.ndarray], Image.Image]:

@@ -60,3 +60,40 @@ def test_ddp_3level_with_fast_losses(classes_3level, tmp_path):
     assert trainer.composite.__class__.__name__ == "FastRMIHieraTripletLoss"
     history = trainer.fit()
     assert np.isfinite(history[0]["train_loss"])
+
+
+def test_tta_single_scale_noflip_equals_direct(trained, rng):
+    """scales=(1.0,), flip=False is a 1-view ensemble: softmax-averaging
+    is then argmax-equivalent to the direct logits path."""
+    cfg, pred = trained
+    img = rng.integers(0, 255, (1, 32, 32, 3), dtype=np.uint8)
+    direct = pred.predict_array(img)
+    tta = pred.predict_tta(img, scales=(1.0,), flip=False)
+    for lvl in direct:
+        np.testing.assert_array_equal(direct[lvl], tta[lvl])
+
+
+def test_tta_multiscale_flip_runs_and_is_consistent(trained, rng):
+    cfg, pred = trained
+    h = cfg.hierarchy
+    img = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    tta = pred.predict_tta(
+        img, scales=(0.75, 1.0), flip=True, out_hw=(48, 48), consistent=True
+    )
+    assert tta["fine"].shape == (2, 48, 48)
+    assert tta["fine"].max() < h.n_fine and tta["fine"].min() >= 0
+    np.testing.assert_array_equal(
+        tta["coarse"], np.asarray(h.fine_to_coarse)[tta["fine"]]
+    )
+
+
+def test_tta_flip_equivariance(trained, rng):
+    """A flip-ensembled prediction of a mirrored image is the mirror of
+    the prediction of the original (the two views swap roles, softmax
+    averaging commutes with the mirror)."""
+    cfg, pred = trained
+    img = rng.integers(0, 255, (1, 32, 32, 3), dtype=np.uint8)
+    a = pred.predict_tta(img, scales=(1.0,), flip=True)
+    b = pred.predict_tta(img[:, :, ::-1].copy(), scales=(1.0,), flip=True)
+    for lvl in a:
+        np.testing.assert_array_equal(a[lvl][:, :, ::-1], b[lvl])
