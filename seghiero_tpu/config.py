@@ -204,9 +204,10 @@ class TrainingConfig:
     # MXU) — faster 3-level steps at relaxed parity tolerances
     rmi_precision: str = "parity"
     triplet_schedule_unit: str = "step"
-    # 2-level hierarchy term: "bce" (reference live path, ×5 scale) or
-    # "focal" (the reference's dead focal variant made selectable —
-    # hiera_loss.py:72-115, γ below, no ×5 scale)
+    # hierarchy term: "bce" (reference live path, ×5 scale) or "focal"
+    # (the reference's dead focal variant made live — hiera_loss.py:
+    # 72-115, γ below, no ×5 scale; genuine 3-level form on 3-level
+    # configs, 2-level adaptation otherwise)
     hiera_variant: str = "bce"
     focal_gamma: float = 2.0
     seed: int = 0

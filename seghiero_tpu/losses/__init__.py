@@ -12,7 +12,7 @@ from seghiero_tpu.losses.tree_triplet import (
     triplet_schedule_factor,
 )
 from seghiero_tpu.losses.rmi import rmi_lower_bound, RMIHieraTripletLoss
-from seghiero_tpu.losses.focal import hiera_focal_loss
+from seghiero_tpu.losses.focal import hiera_focal_loss, hiera_focal_three_level
 from seghiero_tpu.losses.fast import FastHieraTripletLoss, FastRMIHieraTripletLoss
 
 __all__ = [
@@ -28,6 +28,7 @@ __all__ = [
     "rmi_lower_bound",
     "RMIHieraTripletLoss",
     "hiera_focal_loss",
+    "hiera_focal_three_level",
     "FastHieraTripletLoss",
     "FastRMIHieraTripletLoss",
 ]

@@ -143,6 +143,26 @@ def hiera_bce_two_level_cmajor(lf, t_fine, t_coarse, h: Hierarchy, eps=1e-8):
     return 5.0 * (loss_f + loss_c)
 
 
+def hiera_focal_three_level_cmajor(
+    lf, t_f, t_m, t_h, h: Hierarchy, eps=1e-8, gamma=2.0
+):
+    """losses/focal.py:hiera_focal_three_level in [B, C, H, W] (the
+    reference's dead 3-level focal, hiera_loss.py:72-115: full
+    ancestor-chain min side, no ×5 scale)."""
+    nf, nm, nh = h.n_fine, h.n_coarse, h.n_super
+    la = lf[:, :nf]
+    lb = lf[:, nf : nf + nm]
+    lc = lf[:, nf + nm : nf + nm + nh]
+    mcmb_c = _bucket_max_cmajor(la, h.fine_by_coarse, lb)
+    mcmc_c = _bucket_max_cmajor(mcmb_c, h.coarse_by_super, lc)
+    mclb_c = jnp.minimum(lb, _expand_channels(lc, h.coarse_to_super))
+    mcla = jnp.minimum(la, _expand_channels(mclb_c, h.fine_to_coarse))
+    loss_f = _masked_level_focal(mcla, la, t_f, nf, h.ignore_index, eps, gamma)
+    loss_m = _masked_level_focal(mclb_c, mcmb_c, t_m, nm, h.ignore_index, eps, gamma)
+    loss_h = _masked_level_focal(lc, mcmc_c, t_h, nh, h.ignore_index, eps, gamma)
+    return loss_f + loss_m + loss_h
+
+
 def hiera_bce_three_level_cmajor(lf, t_f, t_m, t_h, h: Hierarchy, clip_min=_CLIP_MIN):
     """losses/hiera.py:hiera_bce_three_level in [B, C, H, W]."""
     nf, nm, nh = h.n_fine, h.n_coarse, h.n_super
@@ -369,7 +389,8 @@ class FastRMIHieraTripletLoss:
                  use_float64=False, axis_name: Optional[str] = None,
                  rmi_streaming: str = "auto", rmi_backend: str = "auto",
                  mesh=None, pallas_interpret: bool = False,
-                 rmi_precision: str = "parity"):
+                 rmi_precision: str = "parity",
+                 hiera_variant: str = "bce", focal_gamma: float = 2.0):
         self.h = hierarchy
         self.rmi_radius = rmi_radius
         self.loss_weight_lambda = loss_weight_lambda
@@ -385,6 +406,8 @@ class FastRMIHieraTripletLoss:
         self.mesh = mesh
         self.pallas_interpret = pallas_interpret
         self.rmi_precision = rmi_precision
+        self.hiera_variant = hiera_variant
+        self.focal_gamma = focal_gamma
 
     @property
     def schedule_total_steps(self):
@@ -398,7 +421,12 @@ class FastRMIHieraTripletLoss:
         lf = _resize_cmajor(lo, out_hw)
         t_f, t_m, t_h = prepare_targets_three_level(label, h)
 
-        hiera = hiera_bce_three_level_cmajor(lf, t_f, t_m, t_h, h)
+        if self.hiera_variant == "focal":
+            hiera = hiera_focal_three_level_cmajor(
+                lf, t_f, t_m, t_h, h, gamma=self.focal_gamma
+            )
+        else:
+            hiera = hiera_bce_three_level_cmajor(lf, t_f, t_m, t_h, h)
 
         # RMI over concatenated per-level one-hots vs masked sigmoids
         probs = jax.nn.sigmoid(lf)

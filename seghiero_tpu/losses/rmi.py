@@ -284,6 +284,10 @@ class RMIHieraTripletLoss:
     margin: float = 0.6
     use_float64: bool = False
     axis_name: Optional[str] = None
+    # "bce" (live reference path) | "focal" (the reference's dead
+    # 3-level focal made live — losses/focal.py:hiera_focal_three_level)
+    hiera_variant: str = "bce"
+    focal_gamma: float = 2.0
 
     def __post_init__(self):
         if self.rmi_pool_size != self.rmi_pool_stride:
@@ -311,7 +315,14 @@ class RMIHieraTripletLoss:
         n_f, n_m, n_h = h.n_fine, h.n_coarse, h.n_super
         t_fine, t_mid, t_high = prepare_targets_three_level(label, h)
 
-        hiera_loss = hiera_bce_three_level(cls_score, t_fine, t_mid, t_high, h)
+        if self.hiera_variant == "focal":
+            from seghiero_tpu.losses.focal import hiera_focal_three_level
+
+            hiera_loss = hiera_focal_three_level(
+                cls_score, t_fine, t_mid, t_high, h, gamma=self.focal_gamma
+            )
+        else:
+            hiera_loss = hiera_bce_three_level(cls_score, t_fine, t_mid, t_high, h)
 
         # RMI on the concatenated per-level one-hots vs masked sigmoids
         # (:479-495). Each level's probs are zeroed at that level's

@@ -74,11 +74,6 @@ def make_composite_loss(
     nested shard_map over the batch dim."""
     h = cfg.hierarchy
     t = cfg.training
-    if t.hiera_variant == "focal" and h.has_super:
-        raise ValueError(
-            "training.hiera_variant: focal is 2-level only (the reference's "
-            "focal variant, hiera_loss.py:72-115, has no 3-level form)"
-        )
     if t.fast_losses:
         from seghiero_tpu.losses.fast import (
             FastHieraTripletLoss,
@@ -96,6 +91,8 @@ def make_composite_loss(
                 rmi_backend=t.rmi_backend,
                 mesh=mesh if axis_name is None else None,
                 rmi_precision=t.rmi_precision,
+                hiera_variant=t.hiera_variant,
+                focal_gamma=t.focal_gamma,
             )
         return FastHieraTripletLoss(
             h,
@@ -115,6 +112,8 @@ def make_composite_loss(
             loss_weight_lambda=t.fine_weight,
             loss_weight=1.0,
             axis_name=axis_name,
+            hiera_variant=t.hiera_variant,
+            focal_gamma=t.focal_gamma,
         )
     return HieraTripletLoss(
         hierarchy=h,

@@ -39,6 +39,30 @@ from models.loss.rmi_hiera_triplet_loss import (  # noqa: E402
 )
 
 
+def load_dead_hiera_loss_module():
+    """Execute the reference's dead models/loss/hiera_loss.py as an
+    oracle namespace.
+
+    The module cannot be imported as-is: it decorates a class with an
+    undefined mmseg leftover ``@LOSSES.register_module()``
+    (hiera_loss.py:118). Executing the file's own source with a no-op
+    ``LOSSES`` registry injected makes its functions
+    (``prepare_targets``, ``losses_hiera``, ``losses_hiera_focal``)
+    callable without copying any code.
+    """
+    path = "/root/reference/models/loss/hiera_loss.py"
+    with open(path) as f:
+        src = f.read()
+
+    class _Registry:
+        def register_module(self):
+            return lambda cls: cls
+
+    ns = {"LOSSES": _Registry()}
+    exec(compile(src, path, "exec"), ns)
+    return ns
+
+
 def to_torch_nchw(x_nhwc: np.ndarray) -> torch.Tensor:
     """Our layout is NHWC; the reference is NCHW."""
     return torch.from_numpy(np.ascontiguousarray(np.moveaxis(x_nhwc, -1, 1)))

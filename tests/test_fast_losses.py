@@ -88,6 +88,45 @@ def test_fast_focal_variant_matches_nhwc(rng, classes_2level):
     np.testing.assert_allclose(fast, ref, rtol=5e-5)
 
 
+def test_fast_3level_focal_matches_nhwc(rng, classes_3level):
+    """FastRMIHieraTripletLoss(hiera_variant='focal') ≡ the NHWC
+    composite with the 3-level focal hiera term."""
+    h = Hierarchy.from_class_config(classes_3level)
+    lo, emb, labels = _inputs(rng, h, H=32, W=32)
+    lf = resize_bilinear(lo, labels.shape[1:3])
+    lb = resize_bilinear(lo, half_size(lo.shape[1:3]))
+
+    ref = float(
+        RMIHieraTripletLoss(h, hiera_variant="focal")(
+            jnp.array(0), emb, lb[..., : h.n_fine], lf, labels
+        )
+    )
+    fast = float(
+        FastRMIHieraTripletLoss(h, hiera_variant="focal")(
+            jnp.array(0), emb, lo, lo, labels
+        )
+    )
+    np.testing.assert_allclose(fast, ref, rtol=5e-5)
+    bce = float(FastRMIHieraTripletLoss(h)(jnp.array(0), emb, lo, lo, labels))
+    assert fast != bce
+
+
+def test_trainer_3level_focal_variant_trains(classes_3level, tmp_path):
+    from tests.test_train_e2e import tiny_config
+    from seghiero_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(
+        classes_3level,
+        tmp_path,
+        epochs=1,
+        size=4,
+        extra_training={"hiera_variant": "focal"},
+    )
+    trainer = Trainer(cfg, verbose=False)
+    history = trainer.fit()
+    assert np.isfinite(history[0]["train_loss"])
+
+
 def test_trainer_focal_variant_trains(classes_2level, tmp_path):
     from tests.test_train_e2e import tiny_config
     from seghiero_tpu.train.trainer import Trainer

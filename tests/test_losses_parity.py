@@ -274,3 +274,101 @@ def test_losses_are_jittable_and_grad_finite(rng, hier3):
     g = jax.grad(lambda lg: loss_fn(lg, emb))(logits)
     assert np.isfinite(float(loss_fn(logits, emb)))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+# ---------------------------------------------------------------------------
+# 3-level focal (the reference's dead hiera_loss.py made live)
+# ---------------------------------------------------------------------------
+
+
+def _dead_focal_hierarchy(upper, lower):
+    """Range-hierarchy equivalent of the dead code's fixed structure:
+    mid = {background, upper, lower}, top = {background, foreground}
+    (hiera_loss.py:6-25)."""
+    n_fine = lower[-1] + 1
+    return Hierarchy.from_class_config(
+        {
+            "coarse_to_fine_map": [
+                [0],
+                [upper[0], upper[-1]],
+                [lower[0], lower[-1]],
+            ],
+            "coarse_names": {0: "back", 1: "upper", 2: "lower"},
+            "fine_names": {i: f"f{i}" for i in range(n_fine)},
+            "super_coarse_to_coarse_map": [[0], [1, 2]],
+            "super_coarse_names": {0: "back", 1: "fore"},
+        }
+    )
+
+
+@pytest.mark.parametrize(
+    "upper,lower",
+    [
+        ([1, 2, 3, 4], [5, 6]),  # Pascal-Person-Part shape (hiera_loss.py:139-140)
+        ([1, 2, 3, 4, 5], [6, 7, 8]),  # wider, still the len<=5 branch
+    ],
+)
+def test_hiera_focal_three_level_matches_dead_reference(rng, upper, lower):
+    """hiera_focal_three_level vs the dead reference losses_hiera_focal
+    (hiera_loss.py:72-115), executed as an oracle namespace. The
+    ``len(upper_ids)>5`` branch is untestable generally — it hardcodes a
+    Cityscapes-19 channel reordering (hiera_loss.py:55) that only
+    type-checks for that exact non-contiguous id layout; range-based
+    hierarchies keep fine-channel order by construction."""
+    import jax.numpy as jnp
+
+    from reference_oracle import load_dead_hiera_loss_module
+    from seghiero_tpu.losses import hiera_focal_three_level
+    from seghiero_tpu.losses.hiera import prepare_targets_three_level
+
+    ns = load_dead_hiera_loss_module()
+    h = _dead_focal_hierarchy(upper, lower)
+    n_fine = h.n_fine
+    B, H, W = 2, 17, 23
+    logits = random_logits(rng, B, H, W, h.total_classes)
+    labels = random_labels(rng, B, H, W, n_fine, p_ignore=0.15)
+
+    t = torch.from_numpy(labels.astype(np.int64))
+    targets, t_mid, t_top = ns["prepare_targets"](t.clone(), list(upper), list(lower))
+    ref = ns["losses_hiera_focal"](
+        to_torch_nchw(logits),
+        targets.clone(),
+        t_mid,
+        t_top,
+        n_fine,
+        list(upper),
+        list(lower),
+    )
+
+    t_f, t_m, t_h = prepare_targets_three_level(jnp.asarray(labels), h)
+    ours = float(
+        hiera_focal_three_level(jnp.asarray(logits), t_f, t_m, t_h, h)
+    )
+    np.testing.assert_allclose(ours, float(ref), rtol=2e-5, atol=2e-6)
+
+
+def test_composite_3level_focal_variant_runs_and_differs(rng, hier3):
+    """RMIHieraTripletLoss(hiera_variant='focal') swaps only the hiera
+    term; it must run, differ from the bce variant, and stay finite."""
+    import jax
+    import jax.numpy as jnp
+
+    B, H, W = 1, 16, 16
+    emb = random_unit_embedding(rng, B, 4, 4, 8)
+    logits = random_logits(rng, B, H, W, hier3.total_classes)
+    before = random_logits(rng, B, 8, 8, hier3.n_fine)
+    labels = random_labels(rng, B, H, W, 7, p_ignore=0.1)
+
+    kw = dict(upper_ids=(1, 2, 3, 4), lower_ids=(5, 6))
+    bce = RMIHieraTripletLoss(hier3, **kw)
+    focal = RMIHieraTripletLoss(hier3, hiera_variant="focal", **kw)
+
+    @jax.jit
+    def loss_fn(lg):
+        return focal(jnp.array(0), emb, before, lg, labels)
+
+    v_focal = float(loss_fn(logits))
+    v_bce = float(bce(jnp.array(0), emb, before, logits, labels))
+    g = jax.grad(loss_fn)(logits)
+    assert np.isfinite(v_focal) and v_focal != v_bce
+    assert np.all(np.isfinite(np.asarray(g)))
