@@ -104,6 +104,14 @@ class ModelConfig:
     # "aspp" (plain DeepLabV3 head, the reference's dead aspp_head.py
     # made live — see models/decode_heads.py)
     head: str = "sep_aspp_contrast"
+    # backbone family: "resnet" (reference parity) or any name registered
+    # via seghiero_tpu.models.register_backbone (README.md:319-328
+    # "Custom Backbones / Heads" made a first-class plug-in point — see
+    # models/registry.py)
+    backbone: str = "resnet"
+    # free-form option mappings handed to custom registry builders
+    backbone_options: Any = None
+    head_options: Any = None
     # backbone output stride: 32 (reference parity) | 16 | 8 (dilated
     # stages, the DeepLab configuration — better mIoU, more compute)
     output_stride: int = 32
@@ -133,13 +141,15 @@ class ModelConfig:
             tail = name.rsplit("-", 1)[-1].replace("resnet", "")
             depth = int(tail) if tail.isdigit() else 101
         depth = int(depth)
-        if depth not in (18, 34, 50, 101, 152):
+        backbone = str(d.get("backbone", "resnet"))
+        if backbone == "resnet" and depth not in (18, 34, 50, 101, 152):
             raise ValueError(f"model.depth must be one of 18/34/50/101/152, got {depth}")
         c4 = 512 if depth in (18, 34) else 2048
         c1 = 64 if depth in (18, 34) else 256
+        # head names beyond the built-ins are resolved against the
+        # registry at model-build time (custom heads register themselves
+        # in user code, which may run after config parse)
         head = str(d.get("head", "sep_aspp_contrast"))
-        if head not in ("sep_aspp_contrast", "aspp"):
-            raise ValueError(f"model.head must be sep_aspp_contrast|aspp, got {head}")
         output_stride = int(d.get("output_stride", 32))
         if output_stride not in (8, 16, 32):
             raise ValueError(f"model.output_stride must be 8|16|32, got {output_stride}")
@@ -151,6 +161,9 @@ class ModelConfig:
             depth=depth,
             pretrained=d.get("pretrained", False),
             head=head,
+            backbone=backbone,
+            backbone_options=dict(d.get("backbone_options") or {}),
+            head_options=dict(d.get("head_options") or {}),
             output_stride=output_stride,
             stem=stem,
             in_channels=int(d.get("in_channels", c4)),

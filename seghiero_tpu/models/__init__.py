@@ -7,8 +7,18 @@ from seghiero_tpu.models.heads import (
     AuxHead,
 )
 from seghiero_tpu.models.segmenter import HieroSegmenter, build_model
+from seghiero_tpu.models.registry import (
+    register_backbone,
+    register_head,
+    list_backbones,
+    list_heads,
+)
 
 __all__ = [
+    "register_backbone",
+    "register_head",
+    "list_backbones",
+    "list_heads",
     "ResNetBackbone",
     "ProjectionHead",
     "DepthwiseSeparableConv",

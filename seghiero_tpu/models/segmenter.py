@@ -16,6 +16,12 @@ import jax.numpy as jnp
 
 from seghiero_tpu.config import ModelConfig, SegHieroConfig
 from seghiero_tpu.models.heads import AuxHead, SepASPPContrastHead
+from seghiero_tpu.models.registry import (
+    backbone_builder,
+    head_builder,
+    register_backbone,
+    register_head,
+)
 from seghiero_tpu.models.resnet import ResNetBackbone
 
 
@@ -24,10 +30,16 @@ class HieroSegmenter(nn.Module):
       - ``logits``     [B, H/4, W/4, num_classes]  (fine|coarse|super)
       - ``embedding``  [B, H/32, W/32, proj_dim]   L2-normalized
       - ``aux_logits`` [B, H/16, W/16, n_fine]     (when with_aux)
+
+    ``backbone`` / ``head_type`` name builders in
+    :mod:`seghiero_tpu.models.registry`; the free-form
+    ``backbone_options`` / ``head_options`` mappings are passed through
+    to custom builders untouched.
     """
 
     num_classes: int
     n_fine: int
+    backbone: str = "resnet"
     depth: int = 101
     output_stride: int = 32
     stem: str = "conv7"
@@ -42,49 +54,64 @@ class HieroSegmenter(nn.Module):
     # mesh axis name for cross-replica (sync) BatchNorm inside shard_map'd
     # ddp training; None = batch-local statistics
     bn_axis: Any = None
+    # free-form option mappings for custom registry builders
+    backbone_options: Any = None
+    head_options: Any = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
-        feats = ResNetBackbone(
-            self.depth,
-            self.output_stride,
-            stem=self.stem,
-            dtype=self.dtype,
-            bn_axis=self.bn_axis,
-            name="backbone",
-        )(images, train)
-        if self.head_type == "aspp":
-            from seghiero_tpu.models.decode_heads import ASPPHead
-
-            logits, embedding = ASPPHead(
-                num_classes=self.num_classes,
-                channels=self.aspp_channels,
-                dilations=tuple(self.dilations),
-                with_projection=True,  # triplet loss needs an embedding
-                proj_dim=self.proj_dim,
-                proj_type=self.proj_type,
-                dtype=self.dtype,
-                bn_axis=self.bn_axis,
-                name="head",
-            )(feats, train)
-        else:
-            logits, embedding = SepASPPContrastHead(
-                num_classes=self.num_classes,
-                c1_channels=self.c1_channels,
-                aspp_channels=self.aspp_channels,
-                dilations=tuple(self.dilations),
-                proj_dim=self.proj_dim,
-                proj_type=self.proj_type,
-                dtype=self.dtype,
-                bn_axis=self.bn_axis,
-                name="head",
-            )(feats, train)
+        feats = backbone_builder(self.backbone)(self)(images, train)
+        logits, embedding = head_builder(self.head_type)(self)(feats, train)
         out = {"logits": logits, "embedding": embedding}
         if self.with_aux:
             out["aux_logits"] = AuxHead(
                 self.n_fine, dtype=self.dtype, bn_axis=self.bn_axis, name="aux_head"
             )(feats[2], train)
         return out
+
+
+@register_backbone("resnet")
+def _build_resnet(seg: "HieroSegmenter") -> nn.Module:
+    return ResNetBackbone(
+        seg.depth,
+        seg.output_stride,
+        stem=seg.stem,
+        dtype=seg.dtype,
+        bn_axis=seg.bn_axis,
+        name="backbone",
+    )
+
+
+@register_head("sep_aspp_contrast")
+def _build_sep_aspp_contrast(seg: "HieroSegmenter") -> nn.Module:
+    return SepASPPContrastHead(
+        num_classes=seg.num_classes,
+        c1_channels=seg.c1_channels,
+        aspp_channels=seg.aspp_channels,
+        dilations=tuple(seg.dilations),
+        proj_dim=seg.proj_dim,
+        proj_type=seg.proj_type,
+        dtype=seg.dtype,
+        bn_axis=seg.bn_axis,
+        name="head",
+    )
+
+
+@register_head("aspp")
+def _build_aspp(seg: "HieroSegmenter") -> nn.Module:
+    from seghiero_tpu.models.decode_heads import ASPPHead
+
+    return ASPPHead(
+        num_classes=seg.num_classes,
+        channels=seg.aspp_channels,
+        dilations=tuple(seg.dilations),
+        with_projection=True,  # triplet loss needs an embedding
+        proj_dim=seg.proj_dim,
+        proj_type=seg.proj_type,
+        dtype=seg.dtype,
+        bn_axis=seg.bn_axis,
+        name="head",
+    )
 
 
 def build_model(
@@ -99,6 +126,7 @@ def build_model(
     return HieroSegmenter(
         num_classes=cfg.hierarchy.total_classes,
         n_fine=cfg.hierarchy.n_fine,
+        backbone=m.backbone,
         depth=m.depth,
         output_stride=m.output_stride,
         stem=m.stem,
@@ -111,4 +139,6 @@ def build_model(
         with_aux=with_aux,
         dtype=dtype,
         bn_axis=bn_axis,
+        backbone_options=m.backbone_options,
+        head_options=m.head_options,
     )

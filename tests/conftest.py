@@ -35,8 +35,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture
 def rng():
+    # Function-scoped on purpose: a session-scoped generator makes every
+    # test's data depend on which tests ran before it (order-dependent
+    # parity flakes — a tolerance that holds for one draw can miss for
+    # another); fresh-per-test means `pytest file.py::test` reproduces
+    # exactly what the full tier saw.
     return np.random.default_rng(0)
 
 
