@@ -104,10 +104,11 @@ class ModelConfig:
     # "aspp" (plain DeepLabV3 head, the reference's dead aspp_head.py
     # made live — see models/decode_heads.py)
     head: str = "sep_aspp_contrast"
-    # backbone family: "resnet" (reference parity) or any name registered
-    # via seghiero_tpu.models.register_backbone (README.md:319-328
-    # "Custom Backbones / Heads" made a first-class plug-in point — see
-    # models/registry.py)
+    # backbone family: "resnet" (reference parity), "convnext"
+    # (models/convnext.py; variant via backbone_options), or any name
+    # registered via seghiero_tpu.models.register_backbone
+    # (README.md:319-328 "Custom Backbones / Heads" made a first-class
+    # plug-in point — see models/registry.py)
     backbone: str = "resnet"
     # free-form option mappings handed to custom registry builders
     backbone_options: Any = None

@@ -1,4 +1,5 @@
 from seghiero_tpu.models.resnet import ResNetBackbone
+from seghiero_tpu.models.convnext import ConvNeXtBackbone
 from seghiero_tpu.models.heads import (
     ProjectionHead,
     DepthwiseSeparableConv,
@@ -20,6 +21,7 @@ __all__ = [
     "list_backbones",
     "list_heads",
     "ResNetBackbone",
+    "ConvNeXtBackbone",
     "ProjectionHead",
     "DepthwiseSeparableConv",
     "DepthwiseSeparableASPP",

@@ -82,6 +82,21 @@ def _build_resnet(seg: "HieroSegmenter") -> nn.Module:
     )
 
 
+@register_backbone("convnext")
+def _build_convnext(seg: "HieroSegmenter") -> nn.Module:
+    from seghiero_tpu.models.convnext import ConvNeXtBackbone
+
+    opts = dict(seg.backbone_options or {})
+    return ConvNeXtBackbone(
+        variant=str(opts.get("variant", "tiny")),
+        output_stride=seg.output_stride,
+        drop_path_rate=float(opts.get("drop_path_rate", 0.0)),
+        layer_scale_init=float(opts.get("layer_scale_init", 1e-6)),
+        dtype=seg.dtype,
+        name="backbone",
+    )
+
+
 @register_head("sep_aspp_contrast")
 def _build_sep_aspp_contrast(seg: "HieroSegmenter") -> nn.Module:
     return SepASPPContrastHead(
