@@ -166,9 +166,16 @@ def main():
         help="training.rmi_precision for 3-level configs (bf16 Gram mode)",
     )
     p.add_argument(
-        "--dry-run", action="store_true", help="tiny shapes, CPU-safe smoke run"
+        "--dry-run", action="store_true", help="tiny shapes, CPU smoke run"
     )
     p.add_argument("--all", action="store_true", help="(default) run every config")
+    p.add_argument(
+        "--platform",
+        type=str,
+        default=None,
+        choices=("cpu", "tpu", "axon"),
+        help="force a jax platform; --dry-run defaults to cpu",
+    )
     args = p.parse_args()
 
     if args.dry_run:
@@ -179,8 +186,16 @@ def main():
         )
         args.steps = min(args.steps, 3)
         args.dtype = "float32"
+        if args.platform is None:
+            args.platform = "cpu"
 
     import jax
+
+    if args.platform:
+        # env JAX_PLATFORMS alone is not enough where a sitecustomize
+        # pins a platform plugin; set it through the config API before
+        # the first backend initializes
+        jax.config.update("jax_platforms", args.platform)
 
     run_all = args.all or args.config is None
     cfg_ids = sorted(BENCH_CONFIGS) if run_all else [args.config]
