@@ -104,6 +104,126 @@ def import_torchvision_backbone(sd: Dict, depth: int) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def _ln(sd: Dict, prefix: str) -> Dict:
+    return {
+        "scale": _np(sd[f"{prefix}.weight"]).reshape(-1),
+        "bias": _np(sd[f"{prefix}.bias"]).reshape(-1),
+    }
+
+
+def import_convnext_backbone(sd: Dict, variant: str) -> Dict:
+    """torch ConvNeXt state_dict → params for ``ConvNeXtBackbone``
+    (LayerNorm-only: no batch_stats). Accepts BOTH published layouts:
+
+      * facebookresearch/ConvNeXt: ``downsample_layers.{i}.{0,1}`` +
+        ``stages.{i}.{j}.{dwconv,norm,pwconv1,pwconv2,gamma}``; the
+        dense-prediction checkpoints' per-stage ``norm{i}`` out-norms
+        are used when present, affine-identity (scale 1 / bias 0 — the
+        features still get standardized; fine-tuning trains the affine)
+        otherwise. Classification checkpoints' single final ``norm`` is
+        ignored, like the classifier ``head``.
+      * torchvision: ``features.{0,2,4,6}`` downsample /
+        ``features.{1,3,5,7}.{j}.block.{0,2,3,5}`` + ``layer_scale``;
+        ``classifier.*`` ignored.
+    """
+    from seghiero_tpu.models.convnext import VARIANTS
+
+    depths, dims = VARIANTS[variant]
+    fb = any(k.startswith("downsample_layers.") for k in sd)
+    tv = any(k.startswith("features.") for k in sd)
+    if not fb and not tv:
+        raise ValueError(
+            "unrecognized ConvNeXt state_dict layout: expected "
+            "'downsample_layers.*/stages.*' (facebook) or 'features.*' "
+            f"(torchvision) keys; got e.g. {sorted(sd)[:3]}"
+        )
+
+    def block_src(stage, j):
+        if fb:
+            p = f"stages.{stage}.{j}"
+            return {
+                "dw": f"{p}.dwconv",
+                "norm": f"{p}.norm",
+                "pw1": f"{p}.pwconv1",
+                "pw2": f"{p}.pwconv2",
+                "gamma": f"{p}.gamma",
+            }
+        p = f"features.{2 * stage + 1}.{j}.block"
+        return {
+            "dw": f"{p}.0",
+            "norm": f"{p}.2",
+            "pw1": f"{p}.3",
+            "pw2": f"{p}.5",
+            "gamma": f"features.{2 * stage + 1}.{j}.layer_scale",
+        }
+
+    def down_src(stage):  # stage >= 1 → (norm_prefix, conv_prefix)
+        if fb:
+            return f"downsample_layers.{stage}.0", f"downsample_layers.{stage}.1"
+        return f"features.{2 * stage}.0", f"features.{2 * stage}.1"
+
+    stem_conv, stem_norm = (
+        ("downsample_layers.0.0", "downsample_layers.0.1")
+        if fb
+        else ("features.0.0", "features.0.1")
+    )
+    params: Dict = {
+        "stem_conv": {
+            "kernel": convert_conv(sd[f"{stem_conv}.weight"]),
+            "bias": _np(sd[f"{stem_conv}.bias"]),
+        },
+        "stem_norm": _ln(sd, stem_norm),
+    }
+    for stage, (depth, dim) in enumerate(zip(depths, dims)):
+        if stage > 0:
+            norm_p, conv_p = down_src(stage)
+            params[f"down{stage}_norm"] = _ln(sd, norm_p)
+            params[f"down{stage}_conv"] = {
+                "kernel": convert_conv(sd[f"{conv_p}.weight"]),
+                "bias": _np(sd[f"{conv_p}.bias"]),
+            }
+        for j in range(depth):
+            src = block_src(stage, j)
+            if f"{src['dw']}.weight" not in sd:
+                raise ValueError(
+                    f"state_dict is missing stage {stage} block {j} "
+                    f"({src['dw']}.weight) — wrong variant {variant!r}?"
+                )
+            blk = {
+                "dwconv": {
+                    "kernel": convert_depthwise(sd[f"{src['dw']}.weight"]),
+                    "bias": _np(sd[f"{src['dw']}.bias"]),
+                },
+                "norm": _ln(sd, src["norm"]),
+                "pwconv1": {
+                    "kernel": _np(sd[f"{src['pw1']}.weight"]).T,
+                    "bias": _np(sd[f"{src['pw1']}.bias"]),
+                },
+                "pwconv2": {
+                    "kernel": _np(sd[f"{src['pw2']}.weight"]).T,
+                    "bias": _np(sd[f"{src['pw2']}.bias"]),
+                },
+            }
+            if src["gamma"] in sd:
+                blk["gamma"] = _np(sd[src["gamma"]]).reshape(-1)
+            else:
+                # checkpoint trained without layer scale (e.g. ConvNeXt
+                # V2): gamma*y degenerates to y, i.e. gamma = 1
+                blk["gamma"] = np.ones((dim,), np.float32)
+            params[f"stage{stage}_{j}"] = blk
+        # dense-prediction out-norms; identity when the checkpoint is a
+        # classification one (out_norm then just passes features through
+        # an affine identity — fine-tuning trains it)
+        if f"norm{stage}.weight" in sd:
+            params[f"out_norm{stage}"] = _ln(sd, f"norm{stage}")
+        else:
+            params[f"out_norm{stage}"] = {
+                "scale": np.ones((dim,), np.float32),
+                "bias": np.zeros((dim,), np.float32),
+            }
+    return params
+
+
 def _convert_sepconv(sd: Dict, src: str) -> Tuple[Dict, Dict]:
     """Reference DepthwiseSeparableConv (sep_aspp_contrast_head.py:33-62)
     → our module subtree."""

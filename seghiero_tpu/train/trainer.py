@@ -454,17 +454,34 @@ class Trainer:
         pre = self.cfg.model.pretrained
         if isinstance(pre, str):
             from seghiero_tpu.models.torch_convert import (
+                import_convnext_backbone,
                 import_torchvision_backbone,
                 load_torch_file,
             )
 
             sd = load_torch_file(pre)
             sd = sd.get("state_dict", sd)
-            bp, bs = import_torchvision_backbone(sd, self.cfg.model.depth)
+            family = self.cfg.model.backbone
+            if family == "convnext":
+                variant = (self.cfg.model.backbone_options or {}).get(
+                    "variant", "tiny"
+                )
+                bp = import_convnext_backbone(sd, variant)
+                bs = None
+            elif family == "resnet":
+                bp, bs = import_torchvision_backbone(sd, self.cfg.model.depth)
+            else:
+                raise ValueError(
+                    f"model.pretrained weight conversion is implemented for "
+                    f"the built-in families (resnet, convnext), not "
+                    f"{family!r}; load custom-backbone weights through your "
+                    "own registry builder or a checkpoint --resume instead."
+                )
             params = dict(params)
             batch_stats = dict(batch_stats)
             params["backbone"] = jax.tree_util.tree_map(jnp.asarray, bp)
-            batch_stats["backbone"] = jax.tree_util.tree_map(jnp.asarray, bs)
+            if bs is not None:
+                batch_stats["backbone"] = jax.tree_util.tree_map(jnp.asarray, bs)
             if self.verbose:
                 print(f"→ Loaded pretrained backbone from {pre}")
         elif pre is True and self.verbose:
