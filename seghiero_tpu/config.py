@@ -243,6 +243,12 @@ class TrainingConfig:
     # donate the train state's buffers to the step (saves one params+opt
     # HBM copy per step; verified safe on CPU and TPU)
     donate_state: bool = True
+    # fold K optimizer steps into ONE jitted dispatch (a lax.scan over K
+    # stacked batches, train/trainer.py). Amortizes the per-dispatch host
+    # round-trip — the dominant cost for small fast steps on remote-
+    # dispatch runtimes — at the price of K× batch memory held on device
+    # and K× coarser logging granularity. 1 = per-step dispatch.
+    steps_per_dispatch: int = 1
     # TPU fast path: compute the full-resolution loss algebra in C-major
     # layout (losses/fast.py) — ~1.75× faster train step at 512px on v5e;
     # numerically equivalent (tested) to the NHWC parity implementations
@@ -288,6 +294,8 @@ class TrainingConfig:
             raise ValueError("optimizer must be 'sgd' or 'adamw'")
         if out.grad_accum_steps < 1:
             raise ValueError("grad_accum_steps must be >= 1")
+        if out.steps_per_dispatch < 1:
+            raise ValueError("steps_per_dispatch must be >= 1")
         return out
 
 

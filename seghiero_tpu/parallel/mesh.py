@@ -66,5 +66,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for ``[K, B, ...]`` stacked batches
+    (``training.steps_per_dispatch``): axis 0 is the step index within
+    the dispatch (replicated — each device sees every step), axis 1 the
+    global batch dim sharded over ``data`` exactly like a single batch."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

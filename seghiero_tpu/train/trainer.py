@@ -43,6 +43,7 @@ from seghiero_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     replicated_sharding,
+    stacked_batch_sharding,
 )
 from seghiero_tpu.train.checkpoint import CheckpointManager
 from seghiero_tpu.train.metrics import (
@@ -405,20 +406,51 @@ class Trainer:
                 if cfg.training.sync_bn
                 else self.model
             )
-            self._train_step = jax.jit(
-                make_train_step_ddp(
-                    ddp_model, ddp_composite, self.cfg, self.tx, self.mesh
-                ),
-                in_shardings=(rep, bshard, None),
+            raw_step = make_train_step_ddp(
+                ddp_model, ddp_composite, self.cfg, self.tx, self.mesh
+            )
+        else:
+            raw_step = make_train_step(self.model, self.composite, self.cfg, self.tx)
+        self._train_step = jax.jit(
+            raw_step,
+            in_shardings=(rep, bshard, None),
+            out_shardings=(rep, rep),
+            donate_argnums=donate,
+        )
+        if cfg.training.steps_per_dispatch > 1:
+            # K steps per XLA dispatch: lax.scan the step over a [K, B, ...]
+            # stacked batch. One host round-trip (and one donate/return of
+            # the state) per K optimizer updates — the per-dispatch cost is
+            # what dominates small fast steps on remote-dispatch runtimes.
+            # Trajectory note: on one device this matches per-step dispatch
+            # to f32 fusion noise (~1e-6); under multi-device SPMD the
+            # re-partitioned scan body may resolve subgradient TIES
+            # differently (max-pool over ReLU zeros), drifting trajectories
+            # the same way any recompilation does (tests/test_superstep.py).
+            def superstep(state: TrainState, stacked: Dict, epoch: jax.Array):
+                def body(s, b):
+                    return raw_step(s, b, epoch)
+
+                state, ms = jax.lax.scan(body, state, stacked)
+                # reduce inside the program: the caller gets the last
+                # step's metrics plus the loss sum, not [K] stacks (which
+                # would need extra eager device ops per dispatch)
+                metrics = jax.tree_util.tree_map(lambda x: x[-1], ms)
+                metrics["loss_sum"] = jnp.sum(ms["loss"])
+                return state, metrics
+
+            sbshard = stacked_batch_sharding(self.mesh)
+            self._train_superstep = jax.jit(
+                superstep,
+                in_shardings=(rep, sbshard, None),
                 out_shardings=(rep, rep),
                 donate_argnums=donate,
             )
-        else:
-            self._train_step = jax.jit(
-                make_train_step(self.model, self.composite, self.cfg, self.tx),
-                in_shardings=(rep, bshard, None),
-                out_shardings=(rep, rep),
-                donate_argnums=donate,
+            # one jitted stack per dispatch (device-side; K eager stacks
+            # would each cost their own dispatch round-trip)
+            self._stack_batches = jax.jit(
+                lambda *bs: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bs),
+                out_shardings=sbshard,
             )
         self._eval_step = jax.jit(
             make_eval_step(self.model, self.composite, self.cfg),
@@ -493,6 +525,38 @@ class Trainer:
         return params, batch_stats
 
     # ------------------------------------------------------------------
+    def _batch_groups(self, iterator):
+        """Group the loader stream into ``steps_per_dispatch``-sized
+        chunks (the epoch tail may be shorter)."""
+        k = self.cfg.training.steps_per_dispatch
+        buf = []
+        for batch in iterator:
+            buf.append(batch)
+            if len(buf) == k:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    def _run_steps(self, batches, epoch_arr):
+        """Dispatch one group: the scan superstep when the group is a full
+        ``steps_per_dispatch`` chunk, per-step jit otherwise (a shorter
+        tail group would otherwise force a second superstep compile).
+
+        Returns ``(last_loss, summed_loss, n_steps)`` — device scalars;
+        only the log-interval path materializes them on host."""
+        k = self.cfg.training.steps_per_dispatch
+        if k > 1 and len(batches) == k:
+            stacked = self._stack_batches(*batches)
+            self.state, m = self._train_superstep(self.state, stacked, epoch_arr)
+            return m["loss"], m["loss_sum"], k
+        last = tot = None
+        for b in batches:
+            self.state, m = self._train_step(self.state, b, epoch_arr)
+            last = m["loss"]
+            tot = last if tot is None else tot + last
+        return last, tot, len(batches)
+
     def fit(self) -> list:
         cfg = self.cfg
         history = []
@@ -511,7 +575,7 @@ class Trainer:
                 # them into an n_train-operand concat HLO)
                 loss_sum, loss_n = jnp.zeros((), jnp.float32), 0
                 t0 = time.perf_counter()
-                iterator = enumerate(self.train_loader)
+                iterator = iter(self.train_loader)
                 pbar = None
                 if self.verbose:
                     try:  # reference-style progress bar (train.py:259)
@@ -524,16 +588,18 @@ class Trainer:
                         )
                     except ImportError:
                         pbar = None
-                for i, batch in iterator:
-                    self.state, m = self._train_step(
-                        self.state, batch, jnp.asarray(epoch)
-                    )
-                    loss_sum, loss_n = loss_sum + m["loss"], loss_n + 1
-                    timer.tick(cfg.training.batch_size)
+                done = 0
+                for group in self._batch_groups(iterator):
+                    prev = done
+                    last, tot, k = self._run_steps(group, jnp.asarray(epoch))
+                    done += k
+                    loss_sum, loss_n = loss_sum + tot, loss_n + k
+                    timer.tick(cfg.training.batch_size * k)
                     if pbar is not None:
-                        pbar.update(1)
-                    if (i + 1) % cfg.training.log_every == 0 or i + 1 == n_train:
-                        running = float(m["loss"])  # one sync per log interval
+                        pbar.update(k)
+                    log_every = cfg.training.log_every
+                    if (done // log_every) != (prev // log_every) or done == n_train:
+                        running = float(last)  # one sync per log interval
                         ips = timer.images_per_sec
                         if pbar is not None:
                             pbar.set_postfix(
@@ -542,7 +608,7 @@ class Trainer:
                             )
                         elif self.verbose:
                             print(
-                                f"epoch {epoch + 1} step {i + 1}/{n_train} "
+                                f"epoch {epoch + 1} step {done}/{n_train} "
                                 f"loss {running:.4f}"
                                 + (f" ({ips:.1f} img/s)" if ips else "")
                             )
