@@ -2,7 +2,7 @@
 
 Flag-compatible with the reference CLIs:
   * train: ``--config`` (train.py:24-34) + extensions ``--resume``,
-    ``--quiet``.
+    ``--eval-only`` (standalone checkpoint validation), ``--quiet``.
   * infer: ``--config --image --checkpoint --device --output-dir``
     (infer.py:183-213). ``--device cpu`` (or ``training.device: cpu``)
     pins the CPU backend, mirroring the reference's device knob
@@ -36,6 +36,13 @@ def train_main(argv=None) -> int:
     p.add_argument(
         "--resume", action="store_true", help="Resume from the latest checkpoint"
     )
+    p.add_argument(
+        "--eval-only",
+        action="store_true",
+        help="no training: restore the latest checkpoint (or evaluate the "
+        "fresh init if none exists) and print val metrics + the per-class "
+        "IoU table (extension — the reference has no standalone eval)",
+    )
     p.add_argument("--quiet", action="store_true", help="Less console output")
     args = p.parse_args(argv)
 
@@ -53,7 +60,9 @@ def train_main(argv=None) -> int:
             " — ignored on the JAX/TPU runtime (devices are auto-detected)"
         )
 
-    trainer = Trainer(cfg, verbose=not args.quiet, resume=args.resume)
+    trainer = Trainer(
+        cfg, verbose=not args.quiet, resume=args.resume or args.eval_only
+    )
     n_train, n_val = len(trainer.train_ds), len(trainer.val_ds)
     print(f"Number of train samples: {n_train}")
     print(f"Number of val   samples: {n_val}")
@@ -64,6 +73,25 @@ def train_main(argv=None) -> int:
     )
     print(f"Total classes (output dim) = {h.total_classes}")
     print(f"Mesh: {dict(trainer.mesh.shape)} over {trainer.mesh.devices.size} device(s)")
+
+    if args.eval_only:
+        if trainer.start_epoch == 0:
+            print("→ No checkpoint found; evaluating the fresh init.")
+        summary, iou_table = trainer.evaluate(with_table=True)
+        from seghiero_tpu.utils.tables import ascii_table
+
+        rows = [["Val Loss", "Val Pixel Acc", "Val fine mIoU"]]
+        rows.append(
+            [
+                f"{summary['loss']:.4f}",
+                f"{summary['fine_acc'] * 100:.2f}%",
+                f"{summary['fine_miou'] * 100:.2f}%",
+            ]
+        )
+        print(ascii_table(rows))
+        print(iou_table)
+        print("Evaluation complete.")
+        return 0
 
     trainer.fit()
     print("Training complete.")

@@ -117,3 +117,17 @@ def test_resume_cli(file_dataset, capsys):
     train_main(["--config", str(cfg_path), "--resume"])
     out = capsys.readouterr().out
     assert "Resumed from epoch 1" in out
+
+
+def test_eval_only_cli(file_dataset, capsys):
+    cfg_path, _ = file_dataset
+    train_main(["--config", str(cfg_path), "--quiet"])
+    capsys.readouterr()
+    assert train_main(["--config", str(cfg_path), "--eval-only"]) == 0
+    out = capsys.readouterr().out
+    # restored the trained checkpoint, ran val only, printed both tables
+    assert "Resumed from epoch 1" in out
+    assert "Val fine mIoU" in out
+    assert "Flower" in out  # per-class IoU table rows
+    assert "Evaluation complete." in out
+    assert "Training complete." not in out
