@@ -249,6 +249,14 @@ class TrainingConfig:
     # dispatch runtimes — at the price of K× batch memory held on device
     # and K× coarser logging granularity. 1 = per-step dispatch.
     steps_per_dispatch: int = 1
+    # shard the image HEIGHT across M devices during training (the CNN
+    # analogue of sequence parallelism, riding the mesh's `model` axis —
+    # parallel/spatial.py). XLA's SPMD partitioner inserts the conv/pool
+    # halo exchanges; activations per device shrink ~M×, enabling
+    # resolutions one chip cannot hold. pjit mode only; 3-level configs
+    # fall back to the XLA RMI backend (the Pallas Gram kernel's nested
+    # shard_map assumes batch-only sharding).
+    spatial_shards: int = 1
     # TPU fast path: compute the full-resolution loss algebra in C-major
     # layout (losses/fast.py) — ~1.75× faster train step at 512px on v5e;
     # numerically equivalent (tested) to the NHWC parity implementations
@@ -296,6 +304,14 @@ class TrainingConfig:
             raise ValueError("grad_accum_steps must be >= 1")
         if out.steps_per_dispatch < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
+        if out.spatial_shards < 1:
+            raise ValueError("spatial_shards must be >= 1")
+        if out.spatial_shards > 1 and out.parallel_mode != "pjit":
+            raise ValueError(
+                "spatial_shards > 1 requires parallel_mode: pjit (the ddp "
+                "shard_map maps replicas over whole samples; height "
+                "sharding is a partitioner feature)"
+            )
         return out
 
 

@@ -66,11 +66,15 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+def stacked_batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
     """Sharding for ``[K, B, ...]`` stacked batches
     (``training.steps_per_dispatch``): axis 0 is the step index within
     the dispatch (replicated — each device sees every step), axis 1 the
-    global batch dim sharded over ``data`` exactly like a single batch."""
+    global batch dim sharded over ``data`` exactly like a single batch;
+    with ``spatial`` the height axis additionally shards over ``model``
+    (training.spatial_shards, parallel/spatial.py)."""
+    if spatial:
+        return NamedSharding(mesh, P(None, DATA_AXIS, MODEL_AXIS))
     return NamedSharding(mesh, P(None, DATA_AXIS))
 
 

@@ -328,8 +328,19 @@ class Trainer:
         cfg = self.cfg
         if cfg.training.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        sp = cfg.training.spatial_shards
         if self.mesh is None:
             spec = dict(cfg.training.mesh)
+            if sp > 1:
+                # height shards ride the `model` mesh axis
+                # (parallel/spatial.py) — TP is size 1 in this model family
+                if spec.get("model", 1) not in (1, sp):
+                    raise ValueError(
+                        f"training.mesh model axis {spec['model']} conflicts "
+                        f"with spatial_shards={sp} (H sharding rides the "
+                        "model axis)"
+                    )
+                spec["model"] = sp
             if spec.get("data", -1) == -1:
                 # default: as many data shards as divide the batch evenly
                 import math
@@ -344,11 +355,20 @@ class Trainer:
                 spec["data"] = d
             self.mesh = make_mesh(spec)
         self.model = build_model(cfg)
-        self.composite = make_composite_loss(cfg, mesh=self.mesh)
+        # spatial mode keeps the XLA RMI backend: the Pallas Gram kernels'
+        # nested shard_map assumes batch-only sharding
+        self.composite = make_composite_loss(
+            cfg, mesh=self.mesh if sp == 1 else None
+        )
 
         self.train_ds = build_dataset(cfg, "train", seed=cfg.training.seed)
         self.val_ds = build_dataset(cfg, "val", seed=cfg.training.seed)
-        bsh = batch_sharding(self.mesh)
+        if sp > 1:
+            from seghiero_tpu.parallel.spatial import spatial_batch_sharding
+
+            bsh = spatial_batch_sharding(self.mesh)
+        else:
+            bsh = batch_sharding(self.mesh)
         if cfg.training.loader == "grain":
             from seghiero_tpu.data.pipeline import GrainBatchLoader as LoaderCls
         else:
@@ -394,7 +414,7 @@ class Trainer:
                     )
 
         rep = replicated_sharding(self.mesh)
-        bshard = batch_sharding(self.mesh)
+        bshard = bsh  # same (possibly H-sharded) layout the loaders emit
         donate = (0,) if cfg.training.donate_state else ()
         if cfg.training.parallel_mode == "ddp" and self.mesh.shape[DATA_AXIS] >= 1:
             ddp_composite = make_composite_loss(cfg, axis_name=DATA_AXIS)
@@ -439,7 +459,7 @@ class Trainer:
                 metrics["loss_sum"] = jnp.sum(ms["loss"])
                 return state, metrics
 
-            sbshard = stacked_batch_sharding(self.mesh)
+            sbshard = stacked_batch_sharding(self.mesh, spatial=sp > 1)
             self._train_superstep = jax.jit(
                 superstep,
                 in_shardings=(rep, sbshard, None),
