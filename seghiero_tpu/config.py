@@ -249,6 +249,12 @@ class TrainingConfig:
     # dispatch runtimes — at the price of K× batch memory held on device
     # and K× coarser logging granularity. 1 = per-step dispatch.
     steps_per_dispatch: int = 1
+    # exponential moving average of the parameters, updated after every
+    # optimizer step (ema ← d·ema + (1−d)·params). 0 = off (reference
+    # parity). When on, validation / best-checkpoint selection and
+    # inference use the averaged weights — the standard deployment
+    # weights for segmentation models. Typical: 0.999–0.9999.
+    ema_decay: float = 0.0
     # shard the image HEIGHT across M devices during training (the CNN
     # analogue of sequence parallelism, riding the mesh's `model` axis —
     # parallel/spatial.py). XLA's SPMD partitioner inserts the conv/pool
@@ -306,6 +312,8 @@ class TrainingConfig:
             raise ValueError("steps_per_dispatch must be >= 1")
         if out.spatial_shards < 1:
             raise ValueError("spatial_shards must be >= 1")
+        if not (0.0 <= out.ema_decay < 1.0):
+            raise ValueError("ema_decay must be in [0, 1)")
         if out.spatial_shards > 1 and out.parallel_mode != "pjit":
             raise ValueError(
                 "spatial_shards > 1 requires parallel_mode: pjit (the ddp "

@@ -121,6 +121,13 @@ class Predictor:
             params=template_vars["params"],
             batch_stats=template_vars["batch_stats"],
             opt_state=tx.init(template_vars["params"]),
+            # EMA configs checkpoint the averaged weights alongside the
+            # raw ones; the template structure must match to restore
+            ema_params=(
+                template_vars["params"]
+                if cfg.training.ema_decay > 0
+                else None
+            ),
         )
         mngr = CheckpointManager(cfg.output.checkpoint_dir, cfg.output.project_name)
         if checkpoint and not os.path.isdir(os.path.join(checkpoint, "state")):
@@ -147,7 +154,9 @@ class Predictor:
                     f"No checkpoint found under {mngr.root}; pass --checkpoint"
                 )
             state, _ = restored
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # deploy the EMA weights when the run tracked them
+        params = state.ema_params if state.ema_params is not None else state.params
+        variables = {"params": params, "batch_stats": state.batch_stats}
         return cls(cfg, variables, mesh)
 
     # ------------------------------------------------------------------

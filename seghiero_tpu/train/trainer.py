@@ -62,6 +62,10 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # exponential moving average of params (training.ema_decay > 0);
+    # None (an empty pytree) when EMA is off, so non-EMA states keep
+    # their historical leaf structure and old checkpoints restore as-is
+    ema_params: Any = None
 
 
 def make_composite_loss(
@@ -187,6 +191,16 @@ def _forward_losses(
     return loss, main_loss, aux_loss, (logits, logits_full), new_batch_stats
 
 
+def _ema_update(ema, params, decay: float):
+    """Parameter EMA (``training.ema_decay``): ema ← d·ema + (1−d)·params
+    after each optimizer update. Trace-time no-op when EMA is off."""
+    if ema is None or not decay:
+        return ema
+    return jax.tree_util.tree_map(
+        lambda e, p: (e * decay + (1.0 - decay) * p).astype(p.dtype), ema, params
+    )
+
+
 def make_train_step(
     model: HieroSegmenter, composite, cfg: SegHieroConfig, tx
 ) -> Callable:
@@ -214,6 +228,9 @@ def make_train_step(
             params=new_params,
             batch_stats=new_bs,
             opt_state=new_opt_state,
+            ema_params=_ema_update(
+                state.ema_params, new_params, cfg.training.ema_decay
+            ),
         )
         metrics = {"loss": loss, "main_loss": main, "aux_loss": aux}
         return new_state, metrics
@@ -265,11 +282,16 @@ def make_train_step_ddp(
         new_params = jax.tree_util.tree_map(
             lambda p, u: (p + u).astype(p.dtype), state.params, updates
         )
+        # grads are pmean'd, so params (and hence the EMA) stay bitwise
+        # identical across replicas — no extra collective needed
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_bs,
             opt_state=new_opt_state,
+            ema_params=_ema_update(
+                state.ema_params, new_params, cfg.training.ema_decay
+            ),
         )
         return new_state, metrics
 
@@ -284,9 +306,13 @@ def make_train_step_ddp(
 
 def make_eval_step(model: HieroSegmenter, composite, cfg: SegHieroConfig) -> Callable:
     h = cfg.hierarchy
+    # with EMA on, validation (and hence best-checkpoint selection) sees
+    # the averaged weights — the weights one would deploy
+    use_ema = cfg.training.ema_decay > 0
 
     def eval_step(state: TrainState, batch: Dict):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        params = state.ema_params if use_ema else state.params
+        variables = {"params": params, "batch_stats": state.batch_stats}
         loss, main, aux, (logits_lo, logits_full), _ = _forward_losses(
             model, composite, cfg, variables, batch, state.step, train=False
         )
@@ -402,7 +428,7 @@ class Trainer:
             cfg.output.checkpoint_dir, cfg.output.project_name
         )
         if self.resume:
-            restored = self.ckpt.restore_latest(self.state)
+            restored = self._restore_latest_compat()
             if restored is not None:
                 self.state, meta = restored
                 self.start_epoch = int(meta.get("epoch", 0))
@@ -479,6 +505,25 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    def _restore_latest_compat(self):
+        """restore_latest, tolerant of checkpoints written before EMA was
+        enabled: retries with an EMA-less template and seeds the EMA from
+        the restored params (turning ema_decay on mid-run is valid)."""
+        try:
+            return self.ckpt.restore_latest(self.state)
+        except Exception:
+            if self.state.ema_params is None:
+                raise
+            template = self.state.replace(ema_params=None)
+            restored = self.ckpt.restore_latest(template)
+            if restored is None:
+                return None
+            st, meta = restored
+            st = st.replace(
+                ema_params=jax.tree_util.tree_map(jnp.array, st.params)
+            )
+            return st, meta
+
     def _init_state(self) -> TrainState:
         cfg = self.cfg
         # parameter shapes are spatial-size independent — init on a tiny
@@ -496,6 +541,11 @@ class Trainer:
             params=params,
             batch_stats=batch_stats,
             opt_state=opt_state,
+            ema_params=(
+                jax.tree_util.tree_map(jnp.array, params)
+                if cfg.training.ema_decay > 0
+                else None
+            ),
         )
         return jax.device_put(state, replicated_sharding(self.mesh))
 
