@@ -199,6 +199,11 @@ class TrainingConfig:
     # average gradients over N micro-batches per optimizer update
     # (optax.MultiSteps; large effective batch without the memory)
     grad_accum_steps: int = 1
+    # clip the global gradient norm before the update (extension; this
+    # loss family has measured grad-abs-sum spikes of ~1e6 from random
+    # init — see tests/test_superstep.py — and clipping is the standard
+    # guard). None/0 = off (reference parity: no clipping).
+    grad_clip_norm: Optional[float] = None
     aux_weight: float = 0.4  # train.py:315
     rmi_radius: int = 3
     rmi_pool_way: int = 0

@@ -70,6 +70,11 @@ def make_optimizer(
             optax.trace(decay=cfg.momentum, nesterov=False),
             optax.scale_by_learning_rate(lr),
         )
+    if cfg.grad_clip_norm:
+        # clip BEFORE wd/momentum — the clipped gradient is what enters
+        # the torch-order update; inside MultiSteps so accumulation
+        # averages raw gradients and the clip sees the average
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
     if cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
     return tx

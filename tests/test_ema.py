@@ -98,3 +98,31 @@ def test_ema_eval_checkpoint_and_resume_migration(classes_2level, tmp_path):
         jax.tree_util.tree_leaves(t2.state.ema_params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.fast
+def test_grad_clip_norm_bounds_update():
+    """training.grad_clip_norm: the post-clip update magnitude is bounded
+    by lr * clip (momentum/wd off), and a tiny gradient is untouched."""
+    import optax
+    from seghiero_tpu.config import TrainingConfig
+    from seghiero_tpu.train.optim import make_optimizer
+
+    cfg = TrainingConfig.from_dict(
+        {"lr": 0.1, "momentum": 0.0, "weight_decay": 0.0, "grad_clip_norm": 1.0}
+    )
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.zeros((4,))}
+    st = tx.init(params)
+
+    big = {"w": jnp.full((4,), 100.0)}  # norm 200 → clipped to 1
+    upd, _ = tx.update(big, st, params)
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(upd["w"])), 0.1, rtol=1e-5
+    )
+
+    small = {"w": jnp.full((4,), 0.01)}  # norm 0.02 → untouched
+    upd, _ = tx.update(small, st, params)
+    np.testing.assert_allclose(
+        np.asarray(upd["w"]), -0.1 * np.asarray(small["w"]), rtol=1e-5
+    )
