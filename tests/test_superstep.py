@@ -151,3 +151,48 @@ def test_superstep_ddp_mode_on_mesh(classes_2level, tmp_path):
     assert len(history) == 1
     assert int(trainer.state.step) == 2
     assert np.isfinite(history[0]["train_loss"])
+
+
+def test_superstep_with_ema_and_spatial(classes_2level, tmp_path):
+    """Feature-interaction guard: steps_per_dispatch × ema_decay ×
+    spatial_shards in one trainer — the scanned step must advance the
+    EMA once per inner step on the H-sharded mesh."""
+    import jax
+
+    cfg = tiny_config(
+        classes_2level,
+        tmp_path,
+        size=8,
+        batch=2,
+        hw=64,
+        mesh={"data": 2},
+        extra_training={
+            "steps_per_dispatch": 2,
+            "ema_decay": 0.5,
+            "spatial_shards": 2,
+        },
+    )
+    trainer = Trainer(cfg, verbose=False)
+    assert trainer.mesh.shape["model"] == 2
+    history = trainer.fit()
+    assert len(history) == 1
+    assert int(trainer.state.step) == 4
+    assert np.isfinite(history[0]["train_loss"])
+    # with decay 0.5 over 4 steps the EMA must clearly differ from both
+    # the init and the final raw params
+    init = Trainer(cfg, verbose=False)  # fresh, same seed
+    d_raw = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(trainer.state.ema_params),
+            jax.tree_util.tree_leaves(trainer.state.params),
+        )
+    )
+    d_init = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(trainer.state.ema_params),
+            jax.tree_util.tree_leaves(init.state.params),
+        )
+    )
+    assert d_raw > 0.0 and d_init > 0.0
