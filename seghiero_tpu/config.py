@@ -336,6 +336,14 @@ class TransformConfig:
     normalize_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     # "pil" = reference-parity image resize; "native" = C++ transform core
     backend: str = "pil"
+    # extensions (train split only; both off by default = reference
+    # parity). scale_range: random scale jitter s∈[lo,hi] after the base
+    # resize, then random-crop / 255-pad back to `resize` — the standard
+    # DeepLab/Cityscapes recipe (e.g. [0.5, 2.0]); output shape stays
+    # static. color_jitter: max relative brightness/contrast/saturation
+    # perturbation (e.g. 0.3), applied to the image only.
+    scale_range: Optional[Tuple[float, float]] = None
+    color_jitter: float = 0.0
 
     @classmethod
     def from_dict(cls, d: dict) -> "TransformConfig":
@@ -346,12 +354,24 @@ class TransformConfig:
         backend = str(d.get("backend", "pil"))
         if backend not in ("pil", "native"):
             raise ValueError(f"transform.backend must be pil|native, got {backend}")
+        scale_range = d.get("scale_range")
+        if scale_range is not None:
+            scale_range = tuple(float(x) for x in scale_range)
+            if len(scale_range) != 2 or not (0 < scale_range[0] <= scale_range[1]):
+                raise ValueError(
+                    "transform.scale_range must be [lo, hi] with 0 < lo <= hi"
+                )
+        color_jitter = float(d.get("color_jitter", 0.0))
+        if not (0.0 <= color_jitter < 1.0):
+            raise ValueError("transform.color_jitter must be in [0, 1)")
         return cls(
             resize=_as_tuple2(d.get("resize"), "transform.resize"),
             hflip_prob=float(d.get("hflip_prob", 0.5)),
             normalize_mean=tuple(d.get("normalize_mean", (0.485, 0.456, 0.406))),
             normalize_std=tuple(d.get("normalize_std", (0.229, 0.224, 0.225))),
             backend=backend,
+            scale_range=scale_range,
+            color_jitter=color_jitter,
         )
 
 

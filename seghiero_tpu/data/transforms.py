@@ -42,11 +42,70 @@ class JointTransform:
     """backend "pil" (default) reproduces the reference's PIL bilinear
     (area-filtered); "native" uses the C++ transform core
     (data/native/transform.cpp — half-pixel sampling, the torch/jax
-    convention) for higher host throughput."""
+    convention) for higher host throughput.
+
+    Extensions (both off by default — reference parity; active only when
+    an ``rng`` is supplied, i.e. the train split): ``scale_range`` draws
+    a scale s∈[lo,hi] after the base resize and random-crops / pads back
+    to the base size (bottom-right pad: image 0, mask 255-ignore), so the
+    output shape stays static for XLA; ``color_jitter`` perturbs image
+    brightness/contrast/saturation by at most ±that fraction."""
 
     resize: Optional[Tuple[int, int]] = None  # (H, W)
     hflip_prob: float = 0.5
     backend: str = "pil"
+    scale_range: Optional[Tuple[float, float]] = None
+    color_jitter: float = 0.0
+
+    def _rescale(
+        self, arr: np.ndarray, mask: np.ndarray, size: Tuple[int, int]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.backend == "native":
+            from seghiero_tpu.data import native
+
+            return (
+                native.resize_bilinear_u8(np.ascontiguousarray(arr), size),
+                native.resize_nearest_i32(
+                    np.ascontiguousarray(mask, np.int32), size
+                ),
+            )
+        h, w = size
+        img = Image.fromarray(arr).resize((w, h), Image.BILINEAR)
+        return np.asarray(img, np.uint8), resize_mask_nearest(mask, (h, w))
+
+    def _scale_crop(
+        self, arr: np.ndarray, mask: np.ndarray, rng: np.random.Generator
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        h, w = arr.shape[:2]
+        lo, hi = self.scale_range
+        s = float(rng.uniform(lo, hi))
+        sh, sw = max(1, round(h * s)), max(1, round(w * s))
+        arr, mask = self._rescale(arr, mask, (sh, sw))
+        # random crop (scaled up) / bottom-right pad (scaled down), per axis
+        if sh > h:
+            y0 = int(rng.integers(0, sh - h + 1))
+            arr, mask = arr[y0 : y0 + h], mask[y0 : y0 + h]
+        elif sh < h:
+            arr = np.pad(arr, ((0, h - sh), (0, 0), (0, 0)))
+            mask = np.pad(mask, ((0, h - sh), (0, 0)), constant_values=255)
+        if sw > w:
+            x0 = int(rng.integers(0, sw - w + 1))
+            arr, mask = arr[:, x0 : x0 + w], mask[:, x0 : x0 + w]
+        elif sw < w:
+            arr = np.pad(arr, ((0, 0), (0, w - sw), (0, 0)))
+            mask = np.pad(mask, ((0, 0), (0, w - sw)), constant_values=255)
+        return arr, mask
+
+    def _jitter(self, arr: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        f = self.color_jitter
+        brightness = float(rng.uniform(-f, f)) * 255.0
+        contrast = float(rng.uniform(1 - f, 1 + f))
+        saturation = float(rng.uniform(1 - f, 1 + f))
+        x = arr.astype(np.float32)
+        x = (x - 127.5) * contrast + 127.5 + brightness
+        gray = x.mean(axis=2, keepdims=True)
+        x = gray + (x - gray) * saturation
+        return np.clip(x, 0.0, 255.0).astype(np.uint8)
 
     def __call__(
         self, img: Image.Image, mask: np.ndarray, rng: Optional[np.random.Generator]
@@ -60,13 +119,18 @@ class JointTransform:
             if self.resize is not None:
                 arr = native.resize_bilinear_u8(arr, self.resize)
                 mask = native.resize_nearest_i32(mask, self.resize)
+            if rng is not None and self.scale_range is not None:
+                arr, mask = self._scale_crop(arr, mask, rng)
+                mask = np.ascontiguousarray(mask, np.int32)
             if (
                 rng is not None
                 and self.hflip_prob > 0
                 and rng.random() < self.hflip_prob
             ):
-                arr = native.hflip_u8(arr)
-                mask = native.hflip_i32(mask)
+                arr = native.hflip_u8(np.ascontiguousarray(arr))
+                mask = native.hflip_i32(np.ascontiguousarray(mask))
+            if rng is not None and self.color_jitter > 0:
+                arr = self._jitter(arr, rng)
             return arr, mask
 
         if self.resize is not None:
@@ -74,11 +138,21 @@ class JointTransform:
             img = img.resize((w, h), Image.BILINEAR)  # PIL wants (W, H)
             mask = resize_mask_nearest(mask, (h, w))
         arr = np.asarray(img, dtype=np.uint8)
+        if rng is not None and self.scale_range is not None:
+            arr, mask = self._scale_crop(arr, mask, rng)
         if rng is not None and self.hflip_prob > 0 and rng.random() < self.hflip_prob:
             arr = arr[:, ::-1]
             mask = mask[:, ::-1]
+        if rng is not None and self.color_jitter > 0:
+            arr = self._jitter(arr, rng)
         return np.ascontiguousarray(arr), np.ascontiguousarray(mask.astype(np.int32))
 
     @classmethod
     def from_config(cls, tf: TransformConfig) -> "JointTransform":
-        return cls(resize=tf.resize, hflip_prob=tf.hflip_prob, backend=tf.backend)
+        return cls(
+            resize=tf.resize,
+            hflip_prob=tf.hflip_prob,
+            backend=tf.backend,
+            scale_range=tf.scale_range,
+            color_jitter=tf.color_jitter,
+        )

@@ -210,6 +210,56 @@ def test_joint_transform_flip_and_resize(classes_2level):
     np.testing.assert_array_equal(out_mask, out2_mask[:, ::-1])
 
 
+def test_joint_transform_scale_crop_and_jitter():
+    from PIL import Image
+
+    from seghiero_tpu.data.transforms import JointTransform
+
+    rng0 = np.random.default_rng(7)
+    img = Image.fromarray(
+        rng0.integers(0, 255, (20, 20, 3), dtype=np.uint8), "RGB"
+    )
+    mask = (np.arange(400).reshape(20, 20) % 9).astype(np.int64)
+
+    # static output shape for any drawn scale; downscale pads mask w/ 255
+    down = JointTransform(resize=(16, 16), hflip_prob=0.0, scale_range=(0.4, 0.6))
+    a, m = down(img, mask, np.random.default_rng(1))
+    assert a.shape == (16, 16, 3) and m.shape == (16, 16)
+    assert (m[-1, :] == 255).all() and (m[:, -1] == 255).all()  # pad region
+    up = JointTransform(resize=(16, 16), hflip_prob=0.0, scale_range=(1.5, 2.0))
+    a2, m2 = up(img, mask, np.random.default_rng(1))
+    assert a2.shape == (16, 16, 3) and (m2 != 255).all()  # crop, no pad
+
+    # deterministic given the rng stream
+    a3, m3 = down(img, mask, np.random.default_rng(1))
+    np.testing.assert_array_equal(a, a3)
+    np.testing.assert_array_equal(m, m3)
+
+    # color jitter: image changes, mask untouched, dtype/shape kept
+    jit = JointTransform(resize=(16, 16), hflip_prob=0.0, color_jitter=0.4)
+    aj, mj = jit(img, mask, np.random.default_rng(2))
+    base, mb = JointTransform(resize=(16, 16), hflip_prob=0.0)(
+        img, mask, np.random.default_rng(2)
+    )
+    assert aj.dtype == np.uint8 and (aj != base).any()
+    np.testing.assert_array_equal(mj, mb)
+
+    # rng=None (val split): augmentations are inert even when configured
+    av, mv = down(img, mask, None)
+    ab, mbs = JointTransform(resize=(16, 16), hflip_prob=0.0)(img, mask, None)
+    np.testing.assert_array_equal(av, ab)
+    np.testing.assert_array_equal(mv, mbs)
+
+    # native backend: same contract (values differ by resize convention)
+    nat = JointTransform(
+        resize=(16, 16), hflip_prob=0.0, scale_range=(0.4, 0.6),
+        color_jitter=0.2, backend="native",
+    )
+    an, mn = nat(img, mask, np.random.default_rng(3))
+    assert an.shape == (16, 16, 3) and mn.shape == (16, 16)
+    assert (mn[-1, :] == 255).all()
+
+
 def test_synthetic_dataset_hierarchy_consistent(classes_3level):
     from seghiero_tpu.config import SegHieroConfig
     from seghiero_tpu.data.synthetic import SyntheticShapesDataset
