@@ -1,5 +1,6 @@
 from seghiero_tpu.models.resnet import ResNetBackbone
 from seghiero_tpu.models.convnext import ConvNeXtBackbone
+from seghiero_tpu.models.hrnet import HRNetBackbone
 from seghiero_tpu.models.heads import (
     ProjectionHead,
     DepthwiseSeparableConv,
@@ -22,6 +23,7 @@ __all__ = [
     "list_heads",
     "ResNetBackbone",
     "ConvNeXtBackbone",
+    "HRNetBackbone",
     "ProjectionHead",
     "DepthwiseSeparableConv",
     "DepthwiseSeparableASPP",

@@ -97,6 +97,21 @@ def _build_convnext(seg: "HieroSegmenter") -> nn.Module:
     )
 
 
+@register_backbone("hrnet")
+def _build_hrnet(seg: "HieroSegmenter") -> nn.Module:
+    from seghiero_tpu.models.hrnet import HRNetBackbone
+
+    opts = dict(seg.backbone_options or {})
+    return HRNetBackbone(
+        variant=str(opts.get("variant", "w18")),
+        fuse_upsample=str(opts.get("fuse_upsample", "nearest")),
+        output_stride=seg.output_stride,
+        dtype=seg.dtype,
+        bn_axis=seg.bn_axis,
+        name="backbone",
+    )
+
+
 @register_head("sep_aspp_contrast")
 def _build_sep_aspp_contrast(seg: "HieroSegmenter") -> nn.Module:
     return SepASPPContrastHead(

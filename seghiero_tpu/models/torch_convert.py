@@ -224,6 +224,113 @@ def import_convnext_backbone(sd: Dict, variant: str) -> Dict:
     return params
 
 
+def import_hrnet_backbone(sd: Dict, variant: str) -> Tuple[Dict, Dict]:
+    """Official HRNet state_dict (HRNet-Image-Classification /
+    HRNet-Semantic-Segmentation backbone keys: ``conv1``/``bn1``,
+    ``layer1.{i}``, ``transition{t}.{b}``,
+    ``stage{s}.{m}.branches.{b}.{i}`` and
+    ``stage{s}.{m}.fuse_layers.{i}.{j}``) → (params, batch_stats) for
+    :class:`~seghiero_tpu.models.hrnet.HRNetBackbone`. Classifier /
+    segmentation-head keys (``incre_modules``, ``last_layer``, ...) are
+    ignored."""
+    from seghiero_tpu.models.hrnet import VARIANTS
+
+    if variant not in VARIANTS:
+        raise ValueError(f"unknown hrnet variant {variant!r}")
+    if "conv1.weight" not in sd:
+        raise ValueError(
+            "unrecognized HRNet state_dict layout: expected official "
+            f"'conv1.weight' etc.; got e.g. {sorted(sd)[:3]}"
+        )
+    spec = VARIANTS[variant]
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put_conv(dst: str, src_key: str):
+        _put(params, (dst, "kernel"), convert_conv(sd[src_key]))
+
+    def put_bn(dst: str, src_prefix: str):
+        p, s = _bn(sd, src_prefix)
+        _put(params, (dst,), p)
+        _put(stats, (dst,), s)
+
+    for ci in (1, 2):
+        put_conv(f"conv{ci}", f"conv{ci}.weight")
+        put_bn(f"bn{ci}", f"bn{ci}")
+    for i in range(spec["stage1_blocks"]):
+        dst = f"layer1_{i}"
+        for ci in (1, 2, 3):
+            _put(
+                params,
+                (dst, f"conv{ci}", "kernel"),
+                convert_conv(sd[f"layer1.{i}.conv{ci}.weight"]),
+            )
+            p, s = _bn(sd, f"layer1.{i}.bn{ci}")
+            _put(params, (dst, f"bn{ci}"), p)
+            _put(stats, (dst, f"bn{ci}"), s)
+        if f"layer1.{i}.downsample.0.weight" in sd:
+            _put(
+                params,
+                (dst, "down_conv", "kernel"),
+                convert_conv(sd[f"layer1.{i}.downsample.0.weight"]),
+            )
+            p, s = _bn(sd, f"layer1.{i}.downsample.1")
+            _put(params, (dst, "down_bn"), p)
+            _put(stats, (dst, "down_bn"), s)
+
+    # transition1 splits into two branches (branch 0 plain conv, branch 1
+    # a Sequential-of-Sequential with one strided conv); transitions 2/3
+    # only add the new lowest branch
+    put_conv("transition1_0_conv", "transition1.0.0.weight")
+    put_bn("transition1_0_bn", "transition1.0.1")
+    put_conv("transition1_1_conv", "transition1.1.0.0.weight")
+    put_bn("transition1_1_bn", "transition1.1.0.1")
+    for t in (2, 3):
+        put_conv(f"transition{t}_{t}_conv", f"transition{t}.{t}.0.0.weight")
+        put_bn(f"transition{t}_{t}_bn", f"transition{t}.{t}.0.1")
+
+    for stage, n_modules in zip((2, 3, 4), spec["modules"]):
+        for m in range(n_modules):
+            src_mod = f"stage{stage}.{m}"
+            dst_mod = f"stage{stage}_m{m}"
+            for b in range(stage):
+                for i in range(spec["blocks"]):
+                    src = f"{src_mod}.branches.{b}.{i}"
+                    dst = f"branch{b}_{i}"
+                    for ci in (1, 2):
+                        _put(
+                            params,
+                            (dst_mod, dst, f"conv{ci}", "kernel"),
+                            convert_conv(sd[f"{src}.conv{ci}.weight"]),
+                        )
+                        p, s = _bn(sd, f"{src}.bn{ci}")
+                        _put(params, (dst_mod, dst, f"bn{ci}"), p)
+                        _put(stats, (dst_mod, dst, f"bn{ci}"), s)
+            for i in range(stage):
+                for j in range(stage):
+                    src = f"{src_mod}.fuse_layers.{i}.{j}"
+                    if j > i:
+                        _put(
+                            params,
+                            (dst_mod, f"fuse{i}_{j}_conv", "kernel"),
+                            convert_conv(sd[f"{src}.0.weight"]),
+                        )
+                        p, s = _bn(sd, f"{src}.1")
+                        _put(params, (dst_mod, f"fuse{i}_{j}_bn"), p)
+                        _put(stats, (dst_mod, f"fuse{i}_{j}_bn"), s)
+                    elif j < i:
+                        for k in range(i - j):
+                            _put(
+                                params,
+                                (dst_mod, f"fuse{i}_{j}_{k}_conv", "kernel"),
+                                convert_conv(sd[f"{src}.{k}.0.weight"]),
+                            )
+                            p, s = _bn(sd, f"{src}.{k}.1")
+                            _put(params, (dst_mod, f"fuse{i}_{j}_{k}_bn"), p)
+                            _put(stats, (dst_mod, f"fuse{i}_{j}_{k}_bn"), s)
+    return params, stats
+
+
 def _convert_sepconv(sd: Dict, src: str) -> Tuple[Dict, Dict]:
     """Reference DepthwiseSeparableConv (sep_aspp_contrast_head.py:33-62)
     → our module subtree."""

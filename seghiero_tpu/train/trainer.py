@@ -557,6 +557,7 @@ class Trainer:
         if isinstance(pre, str):
             from seghiero_tpu.models.torch_convert import (
                 import_convnext_backbone,
+                import_hrnet_backbone,
                 import_torchvision_backbone,
                 load_torch_file,
             )
@@ -570,12 +571,17 @@ class Trainer:
                 )
                 bp = import_convnext_backbone(sd, variant)
                 bs = None
+            elif family == "hrnet":
+                variant = (self.cfg.model.backbone_options or {}).get(
+                    "variant", "w18"
+                )
+                bp, bs = import_hrnet_backbone(sd, variant)
             elif family == "resnet":
                 bp, bs = import_torchvision_backbone(sd, self.cfg.model.depth)
             else:
                 raise ValueError(
                     f"model.pretrained weight conversion is implemented for "
-                    f"the built-in families (resnet, convnext), not "
+                    f"the built-in families (resnet, convnext, hrnet), not "
                     f"{family!r}; load custom-backbone weights through your "
                     "own registry builder or a checkpoint --resume instead."
                 )
