@@ -1,6 +1,7 @@
 from seghiero_tpu.models.resnet import ResNetBackbone
 from seghiero_tpu.models.convnext import ConvNeXtBackbone
 from seghiero_tpu.models.hrnet import HRNetBackbone
+from seghiero_tpu.models.unet import UNetBackbone
 from seghiero_tpu.models.heads import (
     ProjectionHead,
     DepthwiseSeparableConv,
@@ -24,6 +25,7 @@ __all__ = [
     "ResNetBackbone",
     "ConvNeXtBackbone",
     "HRNetBackbone",
+    "UNetBackbone",
     "ProjectionHead",
     "DepthwiseSeparableConv",
     "DepthwiseSeparableASPP",

@@ -112,6 +112,21 @@ def _build_hrnet(seg: "HieroSegmenter") -> nn.Module:
     )
 
 
+@register_backbone("unet")
+def _build_unet(seg: "HieroSegmenter") -> nn.Module:
+    from seghiero_tpu.models.unet import UNetBackbone
+
+    opts = dict(seg.backbone_options or {})
+    return UNetBackbone(
+        base_width=int(opts.get("base_width", 32)),
+        max_width=int(opts.get("max_width", 512)),
+        output_stride=seg.output_stride,
+        dtype=seg.dtype,
+        bn_axis=seg.bn_axis,
+        name="backbone",
+    )
+
+
 @register_head("sep_aspp_contrast")
 def _build_sep_aspp_contrast(seg: "HieroSegmenter") -> nn.Module:
     return SepASPPContrastHead(
