@@ -2,6 +2,7 @@ from seghiero_tpu.models.resnet import ResNetBackbone
 from seghiero_tpu.models.convnext import ConvNeXtBackbone
 from seghiero_tpu.models.hrnet import HRNetBackbone
 from seghiero_tpu.models.unet import UNetBackbone
+from seghiero_tpu.models.mit import MiTBackbone
 from seghiero_tpu.models.heads import (
     ProjectionHead,
     DepthwiseSeparableConv,
@@ -26,6 +27,7 @@ __all__ = [
     "ConvNeXtBackbone",
     "HRNetBackbone",
     "UNetBackbone",
+    "MiTBackbone",
     "ProjectionHead",
     "DepthwiseSeparableConv",
     "DepthwiseSeparableASPP",

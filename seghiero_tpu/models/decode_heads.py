@@ -15,7 +15,13 @@ registry leftovers); here they are live, tested model families:
     with a zero embedding (triplet inactive) unless combined with
     ``with_projection=True``.
 
-Select via config ``model.head: "sep_aspp_contrast" (default) | "aspp"``.
+  * ``SegFormerMLPHead``: SegFormer's all-MLP decoder (arXiv:2105.15203
+    §3.2) — the natural pairing for ``model.backbone: mit``: per-stage
+    linear projection, bilinear-unify to the C1 (stride-4) grid, concat,
+    1×1 fuse ConvBNReLU, dropout, 1×1 classifier.
+
+Select via config ``model.head: "sep_aspp_contrast" (default) | "aspp"
+| "segformer_mlp"``.
 """
 
 from __future__ import annotations
@@ -120,5 +126,55 @@ class ASPPHead(nn.Module):
             y = nn.Dropout(self.dropout_rate, deterministic=False)(y)
         logits = nn.Conv(
             self.num_classes, (1, 1), use_bias=True, dtype=self.dtype, name="cls_seg"
+        )(y)
+        return logits.astype(jnp.float32), embedding
+
+
+class SegFormerMLPHead(nn.Module):
+    """SegFormer all-MLP decoder (arXiv:2105.15203 §3.2, official
+    segformer_head.py): Dense per stage → resize all to the stride-4
+    grid → concat → 1×1 ConvBNReLU fuse → dropout → 1×1 classifier.
+    Returns (logits_at_stride4, embedding) — the embedding comes from a
+    ProjectionHead on C4 so the triplet term keeps its contract.
+
+    TPU notes: the per-stage projections and the fuse are 1×1 convs =
+    dense channel contractions (MXU); the bilinear unify reuses the
+    shared gather-free two-matmul resize (ops/resize.py)."""
+
+    num_classes: int
+    channels: int = 256
+    dropout_rate: float = 0.1
+    with_projection: bool = True
+    proj_dim: int = 256
+    proj_type: str = "convmlp"
+    dtype: Any = jnp.float32
+    bn_axis: Any = None
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool):
+        c1, c2, c3, c4 = feats
+        embedding = None
+        if self.with_projection:
+            embedding = ProjectionHead(
+                self.proj_dim, self.proj_type, dtype=self.dtype,
+                bn_axis=self.bn_axis, name="proj_head"
+            )(c4, train)
+
+        hw = c1.shape[1:3]
+        parts = []
+        for i, x in enumerate((c1, c2, c3, c4)):
+            y = nn.Dense(self.channels, dtype=self.dtype, name=f"linear_c{i + 1}")(x)
+            if y.shape[1:3] != hw:
+                y = resize_bilinear(y.astype(jnp.float32), hw).astype(y.dtype)
+            parts.append(y)
+        # official concats [c4, c3, c2, c1]
+        y = jnp.concatenate(parts[::-1], axis=-1)
+        y = ConvBNReLU(self.channels, 1, dtype=self.dtype,
+                       bn_axis=self.bn_axis, name="linear_fuse")(y, train)
+        if self.dropout_rate and train:
+            y = nn.Dropout(self.dropout_rate, deterministic=False)(y)
+        logits = nn.Conv(
+            self.num_classes, (1, 1), use_bias=True, dtype=self.dtype,
+            name="cls_seg",
         )(y)
         return logits.astype(jnp.float32), embedding

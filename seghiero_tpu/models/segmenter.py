@@ -127,6 +127,20 @@ def _build_unet(seg: "HieroSegmenter") -> nn.Module:
     )
 
 
+@register_backbone("mit")
+def _build_mit(seg: "HieroSegmenter") -> nn.Module:
+    from seghiero_tpu.models.mit import MiTBackbone
+
+    opts = dict(seg.backbone_options or {})
+    return MiTBackbone(
+        variant=str(opts.get("variant", "b0")),
+        drop_path_rate=float(opts.get("drop_path_rate", 0.0)),
+        output_stride=seg.output_stride,
+        dtype=seg.dtype,
+        name="backbone",
+    )
+
+
 @register_head("sep_aspp_contrast")
 def _build_sep_aspp_contrast(seg: "HieroSegmenter") -> nn.Module:
     return SepASPPContrastHead(
@@ -150,6 +164,24 @@ def _build_aspp(seg: "HieroSegmenter") -> nn.Module:
         num_classes=seg.num_classes,
         channels=seg.aspp_channels,
         dilations=tuple(seg.dilations),
+        with_projection=True,  # triplet loss needs an embedding
+        proj_dim=seg.proj_dim,
+        proj_type=seg.proj_type,
+        dtype=seg.dtype,
+        bn_axis=seg.bn_axis,
+        name="head",
+    )
+
+
+@register_head("segformer_mlp")
+def _build_segformer_mlp(seg: "HieroSegmenter") -> nn.Module:
+    from seghiero_tpu.models.decode_heads import SegFormerMLPHead
+
+    opts = dict(seg.head_options or {})
+    return SegFormerMLPHead(
+        num_classes=seg.num_classes,
+        channels=int(opts.get("channels", 256)),
+        dropout_rate=float(opts.get("dropout_rate", 0.1)),
         with_projection=True,  # triplet loss needs an embedding
         proj_dim=seg.proj_dim,
         proj_type=seg.proj_type,

@@ -331,6 +331,129 @@ def import_hrnet_backbone(sd: Dict, variant: str) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def _dense(sd: Dict, prefix: str) -> Dict:
+    # torch Linear [out, in] → Flax Dense kernel [in, out]
+    d = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        d["bias"] = _np(sd[f"{prefix}.bias"])
+    return d
+
+
+def _conv_b(sd: Dict, prefix: str) -> Dict:
+    d = {"kernel": convert_conv(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        d["bias"] = _np(sd[f"{prefix}.bias"])
+    return d
+
+
+def import_mit_backbone(sd: Dict, variant: str) -> Dict:
+    """MiT (SegFormer encoder) state_dict → params for
+    :class:`~seghiero_tpu.models.mit.MiTBackbone` (LayerNorm-only: no
+    batch_stats). Accepts BOTH published layouts:
+
+      * official NVlabs/SegFormer ``mit_b*.pth``:
+        ``patch_embed{s}.{proj,norm}``, ``block{s}.{j}.{norm1,norm2}``,
+        ``.attn.{q,kv,sr,norm,proj}`` (fused kv, split here),
+        ``.mlp.{fc1,dwconv.dwconv,fc2}``, per-stage ``norm{s}``;
+        classifier ``head.*`` ignored.
+      * HuggingFace ``SegformerModel`` / ``SegformerFor*``:
+        ``[segformer.]encoder.patch_embeddings.{i}.{proj,layer_norm}``,
+        ``...block.{i}.{j}.layer_norm_{1,2}``,
+        ``...attention.self.{query,key,value,sr,layer_norm}`` +
+        ``attention.output.dense``, ``...mlp.{dense1,dwconv.dwconv,
+        dense2}``, ``...layer_norm.{i}``; ``decode_head.*`` ignored.
+    """
+    from seghiero_tpu.models.mit import SR_RATIOS, VARIANTS
+
+    if variant not in VARIANTS:
+        raise ValueError(f"unknown mit variant {variant!r}")
+    depths, dims = VARIANTS[variant]
+
+    hf = any(".patch_embeddings." in k for k in sd)
+    if hf:
+        # normalize HF naming to the official one (kv kept split as k/v)
+        out = {}
+        for k, v in sd.items():
+            k = k.replace("segformer.", "", 1)
+            if not k.startswith("encoder."):
+                continue
+            k = k[len("encoder."):]
+            for i in range(4):
+                k = k.replace(f"patch_embeddings.{i}.", f"patch_embed{i + 1}.")
+                k = k.replace(f"block.{i}.", f"block{i + 1}.")
+            if k.startswith("layer_norm."):
+                k = "norm" + str(int(k.split(".")[1]) + 1) + "." + k.split(".", 2)[2]
+            k = (
+                k.replace(".layer_norm.", ".norm.")
+                .replace("layer_norm_1", "norm1")
+                .replace("layer_norm_2", "norm2")
+                .replace("attention.self.query", "attn.q")
+                .replace("attention.self.key", "attn.k")
+                .replace("attention.self.value", "attn.v")
+                .replace("attention.self.sr", "attn.sr")
+                .replace("attention.self.norm", "attn.norm")
+                .replace("attention.output.dense", "attn.proj")
+                .replace("mlp.dense1", "mlp.fc1")
+                .replace("mlp.dense2", "mlp.fc2")
+            )
+            out[k] = v
+        sd = out
+    elif "patch_embed1.proj.weight" not in sd:
+        raise ValueError(
+            "unrecognized MiT state_dict layout: expected official "
+            "'patch_embed1.proj.weight' or HF '...patch_embeddings.0...' "
+            f"keys; got e.g. {sorted(sd)[:3]}"
+        )
+
+    params: Dict = {}
+    for s in range(1, 5):
+        params[f"patch_embed{s}_proj"] = _conv_b(sd, f"patch_embed{s}.proj")
+        params[f"patch_embed{s}_norm"] = _ln(sd, f"patch_embed{s}.norm")
+        params[f"norm{s}"] = _ln(sd, f"norm{s}")
+        for j in range(depths[s - 1]):
+            src = f"block{s}.{j}"
+            if f"{src}.norm1.weight" not in sd:
+                raise ValueError(
+                    f"state_dict is missing stage {s} block {j} "
+                    f"({src}.norm1.weight) — wrong variant {variant!r}?"
+                )
+            attn: Dict = {
+                "q": _dense(sd, f"{src}.attn.q"),
+                "proj": _dense(sd, f"{src}.attn.proj"),
+            }
+            if f"{src}.attn.kv.weight" in sd:  # official fused kv
+                w = _np(sd[f"{src}.attn.kv.weight"])  # [2*dim, dim]
+                dim = w.shape[1]
+                attn["k"] = {"kernel": w[:dim].T}
+                attn["v"] = {"kernel": w[dim:].T}
+                if f"{src}.attn.kv.bias" in sd:
+                    b = _np(sd[f"{src}.attn.kv.bias"])
+                    attn["k"]["bias"] = b[:dim]
+                    attn["v"]["bias"] = b[dim:]
+            else:
+                attn["k"] = _dense(sd, f"{src}.attn.k")
+                attn["v"] = _dense(sd, f"{src}.attn.v")
+            if SR_RATIOS[s - 1] > 1:
+                attn["sr"] = _conv_b(sd, f"{src}.attn.sr")
+                attn["sr_norm"] = _ln(sd, f"{src}.attn.norm")
+            params[f"stage{s}_{j}"] = {
+                "norm1": _ln(sd, f"{src}.norm1"),
+                "norm2": _ln(sd, f"{src}.norm2"),
+                "attn": attn,
+                "mlp": {
+                    "fc1": _dense(sd, f"{src}.mlp.fc1"),
+                    "dwconv": {
+                        "kernel": convert_depthwise(
+                            sd[f"{src}.mlp.dwconv.dwconv.weight"]
+                        ),
+                        "bias": _np(sd[f"{src}.mlp.dwconv.dwconv.bias"]),
+                    },
+                    "fc2": _dense(sd, f"{src}.mlp.fc2"),
+                },
+            }
+    return params
+
+
 def _convert_sepconv(sd: Dict, src: str) -> Tuple[Dict, Dict]:
     """Reference DepthwiseSeparableConv (sep_aspp_contrast_head.py:33-62)
     → our module subtree."""

@@ -558,6 +558,7 @@ class Trainer:
             from seghiero_tpu.models.torch_convert import (
                 import_convnext_backbone,
                 import_hrnet_backbone,
+                import_mit_backbone,
                 import_torchvision_backbone,
                 load_torch_file,
             )
@@ -576,14 +577,21 @@ class Trainer:
                     "variant", "w18"
                 )
                 bp, bs = import_hrnet_backbone(sd, variant)
+            elif family == "mit":
+                variant = (self.cfg.model.backbone_options or {}).get(
+                    "variant", "b0"
+                )
+                bp = import_mit_backbone(sd, variant)
+                bs = None
             elif family == "resnet":
                 bp, bs = import_torchvision_backbone(sd, self.cfg.model.depth)
             else:
                 raise ValueError(
                     f"model.pretrained weight conversion is implemented for "
-                    f"the built-in families (resnet, convnext, hrnet), not "
-                    f"{family!r}; load custom-backbone weights through your "
-                    "own registry builder or a checkpoint --resume instead."
+                    f"the built-in families (resnet, convnext, hrnet, mit), "
+                    f"not {family!r}; load custom-backbone weights through "
+                    "your own registry builder or a checkpoint --resume "
+                    "instead."
                 )
             params = dict(params)
             batch_stats = dict(batch_stats)
