@@ -272,6 +272,11 @@ class TrainingConfig:
     # layout (losses/fast.py) — ~1.75× faster train step at 512px on v5e;
     # numerically equivalent (tested) to the NHWC parity implementations
     fast_losses: bool = True
+    # extension: additional per-level loss terms added to the total —
+    # list of {type: "dice"|"lovasz", level: "fine"|"coarse"|"super",
+    # weight: float} (losses/extra.py). The reference's loss menu is
+    # fixed; these are the standard segmentation extras. () = off.
+    extra_losses: Sequence[Dict[str, Any]] = ()
     # NaN guard (aux subsystem, SURVEY §5): aborts with the failing
     # primitive's traceback on the first non-finite value. Debug only —
     # disables async dispatch
@@ -325,6 +330,25 @@ class TrainingConfig:
                 "shard_map maps replicas over whole samples; height "
                 "sharding is a partitioner feature)"
             )
+        norm_extras = []
+        for spec in out.extra_losses or ():
+            spec = dict(spec)
+            if spec.get("type") not in ("dice", "lovasz"):
+                raise ValueError(
+                    "extra_losses[].type must be 'dice' or 'lovasz', got "
+                    f"{spec.get('type')!r}"
+                )
+            if spec.get("level", "fine") not in ("fine", "coarse", "super"):
+                raise ValueError(
+                    "extra_losses[].level must be 'fine', 'coarse' or "
+                    f"'super', got {spec.get('level')!r}"
+                )
+            spec.setdefault("level", "fine")
+            spec["weight"] = float(spec.get("weight", 1.0))
+            if spec["weight"] <= 0:
+                raise ValueError("extra_losses[].weight must be > 0")
+            norm_extras.append(spec)
+        object.__setattr__(out, "extra_losses", tuple(norm_extras))
         return out
 
 

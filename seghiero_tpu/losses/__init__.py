@@ -14,6 +14,7 @@ from seghiero_tpu.losses.tree_triplet import (
 from seghiero_tpu.losses.rmi import rmi_lower_bound, RMIHieraTripletLoss
 from seghiero_tpu.losses.focal import hiera_focal_loss, hiera_focal_three_level
 from seghiero_tpu.losses.fast import FastHieraTripletLoss, FastRMIHieraTripletLoss
+from seghiero_tpu.losses.extra import dice_loss, lovasz_softmax
 
 __all__ = [
     "softmax_cross_entropy",
@@ -28,6 +29,8 @@ __all__ = [
     "rmi_lower_bound",
     "RMIHieraTripletLoss",
     "hiera_focal_loss",
+    "dice_loss",
+    "lovasz_softmax",
     "hiera_focal_three_level",
     "FastHieraTripletLoss",
     "FastRMIHieraTripletLoss",

@@ -173,12 +173,17 @@ def _forward_losses(
     logits = out["logits"]  # [B, H/4, W/4, C] f32
     fast = getattr(composite, "wants_low_res", False)
 
+    extra_specs = cfg.training.extra_losses
     if fast:
         main_loss = composite(sched_step, out["embedding"], logits, logits, fine)
         from seghiero_tpu.losses.fast import aux_ce_fast
 
         aux_loss = aux_ce_fast(out["aux_logits"], fine, cfg.hierarchy.ignore_index)
-        logits_full = resize_bilinear(logits, (H, W)) if need_full_logits else None
+        logits_full = (
+            resize_bilinear(logits, (H, W))
+            if (need_full_logits or extra_specs)
+            else None
+        )
     else:
         logits_before = resize_bilinear(logits, half_size(logits.shape[1:3]))  # 1/8
         logits_full = resize_bilinear(logits, (H, W))
@@ -188,6 +193,12 @@ def _forward_losses(
         aux_up = resize_bilinear(out["aux_logits"], (H, W))
         aux_loss = softmax_cross_entropy(aux_up, fine, divide_by="valid")
     loss = main_loss + cfg.training.aux_weight * aux_loss
+    if extra_specs:
+        from seghiero_tpu.losses.extra import extra_losses_total
+
+        loss = loss + extra_losses_total(
+            extra_specs, logits_full, fine, cfg.hierarchy
+        )
     return loss, main_loss, aux_loss, (logits, logits_full), new_batch_stats
 
 
@@ -380,6 +391,12 @@ class Trainer:
                     )
                 spec["data"] = d
             self.mesh = make_mesh(spec)
+        for spec in cfg.training.extra_losses:
+            if spec["level"] == "super" and not cfg.hierarchy.has_super:
+                raise ValueError(
+                    "extra_losses level 'super' requires a 3-level config "
+                    "(classes.super_coarse_names)"
+                )
         self.model = build_model(cfg)
         # spatial mode keeps the XLA RMI backend: the Pallas Gram kernels'
         # nested shard_map assumes batch-only sharding
