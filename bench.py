@@ -56,6 +56,9 @@ def build(
     dtype: str,
     rmi_precision: str = "parity",
     steps_per_dispatch: int = 1,
+    backbone: str = None,
+    backbone_variant: str = None,
+    head: str = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -71,7 +74,17 @@ def build(
         {
             "dataset": {"kind": "synthetic", "synthetic_size": batch},
             "classes": classes,
-            "model": {"depth": spec["depth"], "dtype": dtype},
+            "model": {
+                "depth": spec["depth"],
+                "dtype": dtype,
+                **({"backbone": backbone} if backbone else {}),
+                **(
+                    {"backbone_options": {"variant": backbone_variant}}
+                    if backbone_variant
+                    else {}
+                ),
+                **({"head": head} if head else {}),
+            },
             "training": {
                 "epochs": 1,
                 "batch_size": batch,
@@ -220,6 +233,25 @@ def main():
         "per config (10 for the dispatch-bound config 1, else 1)",
     )
     p.add_argument(
+        "--backbone",
+        type=str,
+        default=None,
+        help="override model.backbone (resnet|convnext|hrnet|unet|mit) for "
+        "exploratory runs; the 5 BASELINE configs use resnet by default",
+    )
+    p.add_argument(
+        "--backbone-variant",
+        type=str,
+        default=None,
+        help="backbone_options.variant for the override (e.g. b2, w32, tiny)",
+    )
+    p.add_argument(
+        "--head",
+        type=str,
+        default=None,
+        help="override model.head (sep_aspp_contrast|aspp|segformer_mlp)",
+    )
+    p.add_argument(
         "--dry-run", action="store_true", help="tiny shapes, CPU smoke run"
     )
     p.add_argument("--all", action="store_true", help="(default) run every config")
@@ -274,6 +306,9 @@ def main():
             args.dtype,
             args.rmi_precision,
             spd if is_train else 1,
+            backbone=args.backbone,
+            backbone_variant=args.backbone_variant,
+            head=args.head,
         )
         n_chips = trainer.mesh.devices.size
         if spec["mode"] == "train":

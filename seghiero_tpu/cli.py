@@ -110,6 +110,22 @@ def infer_main(argv=None) -> int:
         help="Input image path (repeatable for batched inference)",
     )
     p.add_argument(
+        "--image-dir",
+        type=str,
+        default=None,
+        help="Run on every image in a directory (sorted; combined with "
+        "any --image flags)",
+    )
+    p.add_argument(
+        "--batch-size",
+        type=int,
+        default=8,
+        help="Device batch size for multi-image runs: images with the "
+        "same original size are stacked and predicted together (one "
+        "compiled program per size group; the tail batch is padded so "
+        "the shape stays static)",
+    )
+    p.add_argument(
         "--checkpoint",
         type=str,
         default=None,
@@ -152,8 +168,20 @@ def infer_main(argv=None) -> int:
         "to DIR; see seghiero_tpu/infer/export.py",
     )
     args = p.parse_args(argv)
+    if args.image_dir:
+        exts = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp"}
+        found = sorted(
+            os.path.join(args.image_dir, f)
+            for f in os.listdir(args.image_dir)
+            if os.path.splitext(f)[1].lower() in exts
+        )
+        if not found:
+            p.error(f"--image-dir {args.image_dir} contains no images")
+        args.image = (args.image or []) + found
     if not args.image and not args.export:
-        p.error("one of --image or --export is required")
+        p.error("one of --image/--image-dir or --export is required")
+    if args.batch_size < 1:
+        p.error("--batch-size must be >= 1")
 
     from seghiero_tpu.config import load_config
     from seghiero_tpu.infer.predictor import Predictor
@@ -176,8 +204,9 @@ def infer_main(argv=None) -> int:
         )
         if not args.image:
             return 0
-    for image_path in args.image:
-        if args.tta:
+    if args.tta:
+        # TTA stays per-image: each image runs a multi-scale ensemble
+        for image_path in args.image:
             from seghiero_tpu.infer.predictor import preprocess_image
 
             arr, orig_hw, _ = preprocess_image(image_path, cfg.transform.resize)
@@ -187,13 +216,38 @@ def infer_main(argv=None) -> int:
                 consistent=args.consistent,
             )
             preds = {k: v[0] for k, v in preds.items()}
-        else:
-            preds, _ = predictor.predict_image(
-                image_path, consistent=args.consistent
-            )
-        base = os.path.splitext(os.path.basename(image_path))[0]
-        for path in predictor.export_masks(preds, args.output_dir, base):
-            print(f"→ Saved {path}")
+            base = os.path.splitext(os.path.basename(image_path))[0]
+            for path in predictor.export_masks(preds, args.output_dir, base):
+                print(f"→ Saved {path}")
+    else:
+        # genuinely batched: stack images sharing an original size and
+        # predict args.batch_size at a time (infer.py processes one image
+        # per forward; here the batch dim feeds the device/mesh directly)
+        import numpy as np
+
+        from seghiero_tpu.infer.predictor import preprocess_image
+
+        groups: dict = {}
+        for image_path in args.image:
+            arr, orig_hw, _ = preprocess_image(image_path, cfg.transform.resize)
+            groups.setdefault(orig_hw, []).append((image_path, arr))
+        for orig_hw, items in groups.items():
+            bsz = min(args.batch_size, len(items))
+            for i in range(0, len(items), bsz):
+                chunk = items[i : i + bsz]
+                arrs = [a for _, a in chunk]
+                while len(arrs) < bsz:  # pad the tail; outputs dropped
+                    arrs.append(arrs[-1])
+                preds = predictor.predict_array(
+                    np.stack(arrs), out_hw=orig_hw, consistent=args.consistent
+                )
+                for j, (image_path, _) in enumerate(chunk):
+                    per = {k: v[j] for k, v in preds.items()}
+                    base = os.path.splitext(os.path.basename(image_path))[0]
+                    for path in predictor.export_masks(
+                        per, args.output_dir, base
+                    ):
+                        print(f"→ Saved {path}")
     print("Inference complete.")
     return 0
 

@@ -131,3 +131,57 @@ def test_eval_only_cli(file_dataset, capsys):
     assert "Flower" in out  # per-class IoU table rows
     assert "Evaluation complete." in out
     assert "Training complete." not in out
+
+
+def test_infer_image_dir_batched(file_dataset, tmp_path, capsys):
+    """--image-dir runs every image in the directory, stacked into
+    device batches (tail padded); outputs match the per-image path."""
+    cfg_path, root = file_dataset
+    assert train_main(["--config", str(cfg_path), "--quiet"]) == 0
+    capsys.readouterr()
+
+    img_dir = str(root / "val" / "img")
+    out_dir = tmp_path / "dir_preds"
+    assert (
+        infer_main(
+            [
+                "--config", str(cfg_path),
+                "--image-dir", img_dir,
+                "--batch-size", "3",  # 4 images → batch of 3 + padded tail
+                "--output-dir", str(out_dir),
+                "--device", "cpu",
+            ]
+        )
+        == 0
+    )
+    for i in range(4):
+        for suffix in ("fine", "coarse"):
+            assert (out_dir / f"s{i}_{suffix}.png").exists(), (i, suffix)
+
+    # same masks as the single-image path
+    solo_dir = tmp_path / "solo_preds"
+    assert (
+        infer_main(
+            [
+                "--config", str(cfg_path),
+                "--image", str(root / "val" / "img" / "s3.png"),
+                "--output-dir", str(solo_dir),
+                "--device", "cpu",
+            ]
+        )
+        == 0
+    )
+    a = np.asarray(Image.open(out_dir / "s3_fine.png"))
+    b = np.asarray(Image.open(solo_dir / "s3_fine.png"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_infer_image_dir_empty_errors(file_dataset, tmp_path):
+    cfg_path, _ = file_dataset
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit):
+        infer_main(
+            ["--config", str(cfg_path), "--image-dir", str(empty),
+             "--device", "cpu"]
+        )
