@@ -3,6 +3,7 @@ from seghiero_tpu.models.convnext import ConvNeXtBackbone
 from seghiero_tpu.models.hrnet import HRNetBackbone
 from seghiero_tpu.models.unet import UNetBackbone
 from seghiero_tpu.models.mit import MiTBackbone
+from seghiero_tpu.models.swin import SwinBackbone
 from seghiero_tpu.models.heads import (
     ProjectionHead,
     DepthwiseSeparableConv,
@@ -28,6 +29,7 @@ __all__ = [
     "HRNetBackbone",
     "UNetBackbone",
     "MiTBackbone",
+    "SwinBackbone",
     "ProjectionHead",
     "DepthwiseSeparableConv",
     "DepthwiseSeparableASPP",

@@ -58,6 +58,16 @@ class HieroSegmenter(nn.Module):
     backbone_options: Any = None
     head_options: Any = None
 
+    def init_sample_hw(self) -> tuple:
+        """Smallest input the assembled model can trace. Param shapes are
+        input-size-independent for every family, so state init uses a
+        tiny sample — but windowed-attention backbones need the
+        stride-32 map to be at least one window."""
+        if self.backbone == "swin":
+            w = int((self.backbone_options or {}).get("window", 7))
+            return (32 * w, 32 * w)
+        return (64, 64)
+
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
         feats = backbone_builder(self.backbone)(self)(images, train)
@@ -134,6 +144,21 @@ def _build_mit(seg: "HieroSegmenter") -> nn.Module:
     opts = dict(seg.backbone_options or {})
     return MiTBackbone(
         variant=str(opts.get("variant", "b0")),
+        drop_path_rate=float(opts.get("drop_path_rate", 0.0)),
+        output_stride=seg.output_stride,
+        dtype=seg.dtype,
+        name="backbone",
+    )
+
+
+@register_backbone("swin")
+def _build_swin(seg: "HieroSegmenter") -> nn.Module:
+    from seghiero_tpu.models.swin import SwinBackbone
+
+    opts = dict(seg.backbone_options or {})
+    return SwinBackbone(
+        variant=str(opts.get("variant", "tiny")),
+        window=int(opts.get("window", 7)),
         drop_path_rate=float(opts.get("drop_path_rate", 0.0)),
         output_stride=seg.output_stride,
         dtype=seg.dtype,

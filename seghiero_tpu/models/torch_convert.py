@@ -454,6 +454,131 @@ def import_mit_backbone(sd: Dict, variant: str) -> Dict:
     return params
 
 
+def import_swin_backbone(sd: Dict, variant: str) -> Dict:
+    """Swin Transformer state_dict → params for
+    :class:`~seghiero_tpu.models.swin.SwinBackbone` (LayerNorm-only).
+    Accepts BOTH published layouts:
+
+      * official microsoft/Swin-Transformer (and mmseg backbone ckpts):
+        ``patch_embed.{proj,norm}``, ``layers.{s}.blocks.{j}.{norm1,
+        norm2}``, ``.attn.{qkv,proj,relative_position_bias_table}``
+        (fused qkv, split here), ``.mlp.{fc1,fc2}``,
+        ``layers.{s}.downsample.{norm,reduction}``; classifier ``head.*``
+        / final ``norm.*`` ignored.
+      * HuggingFace ``SwinModel``/``SwinBackbone``/``SwinFor*``:
+        ``[swin.]embeddings.*``, ``[swin.]encoder.layers.*`` with split
+        ``attention.self.{query,key,value}``; ``SwinBackbone``'s
+        ``hidden_states_norms.stage{i}`` become the per-stage out-norms.
+
+    Per-stage out-norms absent from classification checkpoints are
+    affine-identity (fine-tuning trains them), the same convention as
+    the ConvNeXt importer.
+    """
+    from seghiero_tpu.models.swin import VARIANTS
+
+    if variant not in VARIANTS:
+        raise ValueError(f"unknown swin variant {variant!r}")
+    dim0, depths, _ = VARIANTS[variant]
+
+    hf = any("patch_embeddings.projection" in k for k in sd)
+    if hf:
+        out = {}
+        for k, v in sd.items():
+            k = k.replace("swin.", "", 1) if k.startswith("swin.") else k
+            k = k.replace(
+                "embeddings.patch_embeddings.projection", "patch_embed.proj"
+            ).replace("embeddings.norm", "patch_embed.norm")
+            if k.startswith("encoder.layers."):
+                k = k[len("encoder."):]
+            if k.startswith("hidden_states_norms.stage"):
+                i = int(k.split(".")[1][len("stage"):]) - 1
+                out[f"out_norm{i}." + k.split(".", 2)[2]] = v
+                continue
+            k = (
+                k.replace("layernorm_before", "norm1")
+                .replace("layernorm_after", "norm2")
+                .replace("attention.self.query", "attn.q")
+                .replace("attention.self.key", "attn.k")
+                .replace("attention.self.value", "attn.v")
+                .replace(
+                    "attention.self.relative_position_bias_table",
+                    "attn.relative_position_bias_table",
+                )
+                .replace("attention.output.dense", "attn.proj")
+                .replace("intermediate.dense", "mlp.fc1")
+                .replace("output.dense", "mlp.fc2")
+            )
+            out[k] = v
+        sd = out
+    elif "patch_embed.proj.weight" not in sd:
+        raise ValueError(
+            "unrecognized Swin state_dict layout: expected official "
+            "'patch_embed.proj.weight' or HF '...patch_embeddings."
+            f"projection...' keys; got e.g. {sorted(sd)[:3]}"
+        )
+
+    params: Dict = {
+        "patch_proj": _conv_b(sd, "patch_embed.proj"),
+        "patch_norm": _ln(sd, "patch_embed.norm"),
+    }
+    for s, depth in enumerate(depths):
+        dim = dim0 * (2 ** s)
+        if s > 0:
+            src = f"layers.{s - 1}.downsample"
+            params[f"merge{s}"] = {
+                "norm": _ln(sd, f"{src}.norm"),
+                "reduction": {"kernel": _np(sd[f"{src}.reduction.weight"]).T},
+            }
+        for j in range(depth):
+            src = f"layers.{s}.blocks.{j}"
+            if f"{src}.norm1.weight" not in sd:
+                raise ValueError(
+                    f"state_dict is missing stage {s} block {j} "
+                    f"({src}.norm1.weight) — wrong variant {variant!r}?"
+                )
+            if f"{src}.attn.qkv.weight" in sd:  # official fused qkv
+                w = _np(sd[f"{src}.attn.qkv.weight"])  # [3*dim, dim]
+                attn = {
+                    "q": {"kernel": w[:dim].T},
+                    "k": {"kernel": w[dim : 2 * dim].T},
+                    "v": {"kernel": w[2 * dim :].T},
+                }
+                if f"{src}.attn.qkv.bias" in sd:
+                    b = _np(sd[f"{src}.attn.qkv.bias"])
+                    attn["q"]["bias"] = b[:dim]
+                    attn["k"]["bias"] = b[dim : 2 * dim]
+                    attn["v"]["bias"] = b[2 * dim :]
+            else:
+                attn = {
+                    "q": _dense(sd, f"{src}.attn.q"),
+                    "k": _dense(sd, f"{src}.attn.k"),
+                    "v": _dense(sd, f"{src}.attn.v"),
+                }
+            attn["proj"] = _dense(sd, f"{src}.attn.proj")
+            attn["rel_bias_table"] = _np(
+                sd[f"{src}.attn.relative_position_bias_table"]
+            )
+            params[f"stage{s}_{j}"] = {
+                "norm1": _ln(sd, f"{src}.norm1"),
+                "norm2": _ln(sd, f"{src}.norm2"),
+                "attn": attn,
+                "fc1": _dense(sd, f"{src}.mlp.fc1"),
+                "fc2": _dense(sd, f"{src}.mlp.fc2"),
+            }
+        # per-stage out-norms: SwinBackbone/mmseg ckpts have them
+        # (normalized to out_norm{s} above / norm{s} in mmseg layout)
+        for cand in (f"out_norm{s}", f"norm{s}"):
+            if f"{cand}.weight" in sd:
+                params[f"out_norm{s}"] = _ln(sd, cand)
+                break
+        else:
+            params[f"out_norm{s}"] = {
+                "scale": np.ones((dim,), np.float32),
+                "bias": np.zeros((dim,), np.float32),
+            }
+    return params
+
+
 def _convert_sepconv(sd: Dict, src: str) -> Tuple[Dict, Dict]:
     """Reference DepthwiseSeparableConv (sep_aspp_contrast_head.py:33-62)
     → our module subtree."""

@@ -545,7 +545,7 @@ class Trainer:
         cfg = self.cfg
         # parameter shapes are spatial-size independent — init on a tiny
         # dummy so we never compile the full-resolution graph just for init
-        sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        sample = jnp.zeros((1, *self.model.init_sample_hw(), 3), jnp.float32)
         variables = jax.jit(self.model.init, static_argnames=("train",))(
             jax.random.key(cfg.training.seed), sample, train=False
         )
@@ -576,6 +576,7 @@ class Trainer:
                 import_convnext_backbone,
                 import_hrnet_backbone,
                 import_mit_backbone,
+                import_swin_backbone,
                 import_torchvision_backbone,
                 load_torch_file,
             )
@@ -600,15 +601,21 @@ class Trainer:
                 )
                 bp = import_mit_backbone(sd, variant)
                 bs = None
+            elif family == "swin":
+                variant = (self.cfg.model.backbone_options or {}).get(
+                    "variant", "tiny"
+                )
+                bp = import_swin_backbone(sd, variant)
+                bs = None
             elif family == "resnet":
                 bp, bs = import_torchvision_backbone(sd, self.cfg.model.depth)
             else:
                 raise ValueError(
                     f"model.pretrained weight conversion is implemented for "
-                    f"the built-in families (resnet, convnext, hrnet, mit), "
-                    f"not {family!r}; load custom-backbone weights through "
-                    "your own registry builder or a checkpoint --resume "
-                    "instead."
+                    f"the built-in families (resnet, convnext, hrnet, mit, "
+                    f"swin), not {family!r}; load custom-backbone weights "
+                    "through your own registry builder or a checkpoint "
+                    "--resume instead."
                 )
             params = dict(params)
             batch_stats = dict(batch_stats)
