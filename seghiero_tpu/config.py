@@ -100,9 +100,11 @@ class ModelConfig:
     pretrained_model: str = "resnet-101"
     depth: int = 101
     pretrained: Any = False  # False | True | path to torchvision .pth
-    # decode-head family: "sep_aspp_contrast" (reference default) or
-    # "aspp" (plain DeepLabV3 head, the reference's dead aspp_head.py
-    # made live — see models/decode_heads.py)
+    # decode-head family: "sep_aspp_contrast" (reference default),
+    # "aspp" (plain DeepLabV3, the reference's dead aspp_head.py made
+    # live), "segformer_mlp" (all-MLP, pairs with backbone "mit") or
+    # "upernet" (PSP+FPN, pairs with "swin"/"convnext") — see
+    # models/decode_heads.py
     head: str = "sep_aspp_contrast"
     # backbone family: "resnet" (reference parity), "convnext"
     # (models/convnext.py; variant via backbone_options), or any name

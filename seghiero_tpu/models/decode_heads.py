@@ -20,8 +20,11 @@ registry leftovers); here they are live, tested model families:
     linear projection, bilinear-unify to the C1 (stride-4) grid, concat,
     1×1 fuse ConvBNReLU, dropout, 1×1 classifier.
 
+  * ``UPerNetHead``: UPerNet (arXiv:1807.10221) — PSP pooling + FPN
+    fusion, the standard pairing for Swin/ConvNeXt backbones.
+
 Select via config ``model.head: "sep_aspp_contrast" (default) | "aspp"
-| "segformer_mlp"``.
+| "segformer_mlp" | "upernet"``.
 """
 
 from __future__ import annotations
@@ -171,6 +174,115 @@ class SegFormerMLPHead(nn.Module):
         y = jnp.concatenate(parts[::-1], axis=-1)
         y = ConvBNReLU(self.channels, 1, dtype=self.dtype,
                        bn_axis=self.bn_axis, name="linear_fuse")(y, train)
+        if self.dropout_rate and train:
+            y = nn.Dropout(self.dropout_rate, deterministic=False)(y)
+        logits = nn.Conv(
+            self.num_classes, (1, 1), use_bias=True, dtype=self.dtype,
+            name="cls_seg",
+        )(y)
+        return logits.astype(jnp.float32), embedding
+
+
+def adaptive_avg_pool(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Exact torch ``AdaptiveAvgPool2d(s)`` semantics on NHWC: output
+    cell (i, j) averages rows [⌊iH/s⌋, ⌈(i+1)H/s⌉) × cols alike. The
+    ≤ s² cell slices are trace-time static — no gather, each cell is
+    one fused mean."""
+    b, h, w, c = x.shape
+    import math
+
+    def bounds(n):
+        return [
+            (math.floor(i * n / s), math.ceil((i + 1) * n / s)) for i in range(s)
+        ]
+
+    rows, cols = bounds(h), bounds(w)
+    return jnp.stack(
+        [
+            jnp.stack(
+                [x[:, r0:r1, c0:c1].mean(axis=(1, 2)) for (c0, c1) in cols],
+                axis=1,
+            )
+            for (r0, r1) in rows
+        ],
+        axis=1,
+    )
+
+
+class UPerNetHead(nn.Module):
+    """UPerNet decode head (Xiao et al., arXiv:1807.10221; the standard
+    pairing for Swin/ConvNeXt backbones): PSP pooling on C4 (scales
+    1/2/3/6, 1×1 ConvBNReLU each, upsampled + concat + 3×3 bottleneck),
+    1×1 lateral convs on C1–C3, top-down FPN summation, 3×3 FPN convs,
+    resize-concat of all pyramid levels at the stride-4 grid, 3×3 fuse,
+    dropout, 1×1 classifier. Returns (logits_at_stride4, embedding) —
+    the embedding rides C4 via a ProjectionHead (triplet contract).
+
+    TPU notes: the PSP pools are static slice-means; every conv is dense
+    NHWC MXU work; the upsamples reuse the gather-free two-matmul
+    resize."""
+
+    num_classes: int
+    channels: int = 512
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    dropout_rate: float = 0.1
+    with_projection: bool = True
+    proj_dim: int = 256
+    proj_type: str = "convmlp"
+    dtype: Any = jnp.float32
+    bn_axis: Any = None
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool):
+        c1, c2, c3, c4 = feats
+        embedding = None
+        if self.with_projection:
+            embedding = ProjectionHead(
+                self.proj_dim, self.proj_type, dtype=self.dtype,
+                bn_axis=self.bn_axis, name="proj_head"
+            )(c4, train)
+
+        # PSP module on C4
+        hw4 = c4.shape[1:3]
+        psp = [c4]
+        for i, s in enumerate(self.pool_scales):
+            y = adaptive_avg_pool(c4, s)
+            y = ConvBNReLU(self.channels, 1, dtype=self.dtype,
+                           bn_axis=self.bn_axis, name=f"psp{i}")(y, train)
+            y = resize_bilinear(y.astype(jnp.float32), hw4).astype(y.dtype)
+            psp.append(y)
+        top = ConvBNReLU(self.channels, 3, dtype=self.dtype,
+                         bn_axis=self.bn_axis, name="psp_bottleneck")(
+            jnp.concatenate(psp, axis=-1), train
+        )
+
+        # FPN: laterals + top-down sums
+        laterals = [
+            ConvBNReLU(self.channels, 1, dtype=self.dtype,
+                       bn_axis=self.bn_axis, name=f"lateral{i}")(x, train)
+            for i, x in enumerate((c1, c2, c3))
+        ] + [top]
+        for i in (2, 1, 0):
+            up = resize_bilinear(
+                laterals[i + 1].astype(jnp.float32), laterals[i].shape[1:3]
+            ).astype(laterals[i].dtype)
+            laterals[i] = laterals[i] + up
+        outs = [
+            ConvBNReLU(self.channels, 3, dtype=self.dtype,
+                       bn_axis=self.bn_axis, name=f"fpn{i}")(laterals[i], train)
+            for i in range(3)
+        ] + [laterals[3]]
+
+        hw1 = c1.shape[1:3]
+        outs = [
+            o if o.shape[1:3] == hw1
+            else resize_bilinear(o.astype(jnp.float32), hw1).astype(o.dtype)
+            for o in outs
+        ]
+        y = ConvBNReLU(self.channels, 3, dtype=self.dtype,
+                       bn_axis=self.bn_axis, name="fuse")(
+            jnp.concatenate(outs, axis=-1), train
+        )
         if self.dropout_rate and train:
             y = nn.Dropout(self.dropout_rate, deterministic=False)(y)
         logits = nn.Conv(

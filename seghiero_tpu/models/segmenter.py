@@ -216,6 +216,25 @@ def _build_segformer_mlp(seg: "HieroSegmenter") -> nn.Module:
     )
 
 
+@register_head("upernet")
+def _build_upernet(seg: "HieroSegmenter") -> nn.Module:
+    from seghiero_tpu.models.decode_heads import UPerNetHead
+
+    opts = dict(seg.head_options or {})
+    return UPerNetHead(
+        num_classes=seg.num_classes,
+        channels=int(opts.get("channels", 512)),
+        pool_scales=tuple(opts.get("pool_scales", (1, 2, 3, 6))),
+        dropout_rate=float(opts.get("dropout_rate", 0.1)),
+        with_projection=True,  # triplet loss needs an embedding
+        proj_dim=seg.proj_dim,
+        proj_type=seg.proj_type,
+        dtype=seg.dtype,
+        bn_axis=seg.bn_axis,
+        name="head",
+    )
+
+
 def build_model(
     cfg: SegHieroConfig, with_aux: bool = True, bn_axis: Any = None
 ) -> HieroSegmenter:
