@@ -109,3 +109,43 @@ def test_ddp_matches_pjit_on_one_device(classes_2level, tmp_path):
         _, m = trainer._train_step(trainer.state, batch, jnp.asarray(0))
         losses[mode] = float(m["loss"])
     np.testing.assert_allclose(losses["pjit"], losses["ddp"], rtol=1e-5)
+
+
+def test_attention_families_train_on_multi_device_mesh(classes_2level, tmp_path):
+    """MiT and Swin under pjit on the virtual 8-device mesh: GSPMD must
+    partition the attention (global for MiT, windowed+rolled for Swin)
+    without shape or collective errors, and one step must run."""
+    import dataclasses
+
+    from tests.test_train_e2e import tiny_config
+    from seghiero_tpu.models.mit import VARIANTS as MIT_V
+    from seghiero_tpu.models.swin import VARIANTS as SWIN_V
+    from seghiero_tpu.train.trainer import Trainer
+
+    MIT_V["tiny_test"] = ((1, 1, 1, 1), (8, 8, 10, 16))
+    SWIN_V["tiny_test"] = (8, (1, 1, 1, 1), (1, 2, 4, 8))
+    try:
+        for backbone, opts in (
+            ("mit", {"variant": "tiny_test"}),
+            ("swin", {"variant": "tiny_test", "window": 2}),
+        ):
+            cfg = tiny_config(
+                classes_2level,
+                tmp_path,
+                epochs=1,
+                batch=8,
+                size=8,
+                mesh={"data": 8},
+            )
+            cfg = dataclasses.replace(
+                cfg,
+                model=dataclasses.replace(
+                    cfg.model, backbone=backbone, backbone_options=opts
+                ),
+            )
+            trainer = Trainer(cfg, verbose=False)
+            assert trainer.mesh.devices.size == 8
+            history = trainer.fit()
+            assert np.isfinite(history[0]["train_loss"]), backbone
+    finally:
+        del MIT_V["tiny_test"], SWIN_V["tiny_test"]
