@@ -206,6 +206,11 @@ class TrainingConfig:
     # init — see tests/test_superstep.py — and clipping is the standard
     # guard). None/0 = off (reference parity: no clipping).
     grad_clip_norm: Optional[float] = None
+    # fine-tuning: multiply the backbone's learning rate (extension).
+    # 1.0 = reference parity (one joint rate, train.py:239-246);
+    # 0 = freeze the backbone (no update / wd / momentum advance);
+    # 0.1 is the usual setting for pretrained transformer backbones.
+    backbone_lr_scale: float = 1.0
     aux_weight: float = 0.4  # train.py:315
     rmi_radius: int = 3
     rmi_pool_way: int = 0
@@ -320,6 +325,8 @@ class TrainingConfig:
             raise ValueError("optimizer must be 'sgd' or 'adamw'")
         if out.grad_accum_steps < 1:
             raise ValueError("grad_accum_steps must be >= 1")
+        if out.backbone_lr_scale < 0:
+            raise ValueError("backbone_lr_scale must be >= 0")
         if out.steps_per_dispatch < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
         if out.spatial_shards < 1:

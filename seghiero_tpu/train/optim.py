@@ -48,6 +48,21 @@ def make_schedule(cfg: TrainingConfig, total_steps: int):
     return main
 
 
+def _base_tx(cfg: TrainingConfig, lr) -> optax.GradientTransformation:
+    if cfg.optimizer == "adamw":
+        return optax.adamw(
+            lr,
+            b1=cfg.adam_beta1,
+            b2=cfg.adam_beta2,
+            weight_decay=cfg.weight_decay,
+        )
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.trace(decay=cfg.momentum, nesterov=False),
+        optax.scale_by_learning_rate(lr),
+    )
+
+
 def make_optimizer(
     cfg: TrainingConfig, schedule: Optional[optax.Schedule] = None
 ) -> optax.GradientTransformation:
@@ -55,25 +70,44 @@ def make_optimizer(
     order) | "adamw" (extension). ``training.grad_accum_steps > 1``
     wraps the result in ``optax.MultiSteps`` — gradients average over N
     micro-batches before one update (large effective batches without the
-    memory; the optimizer step index then advances every N calls)."""
+    memory; the optimizer step index then advances every N calls).
+
+    ``training.backbone_lr_scale`` (extension; the fine-tuning knob for
+    pretrained backbones): multiplies the backbone's learning rate —
+    ``0`` freezes it outright (no update, no weight decay, no momentum
+    state advance — matching torch's requires_grad=False semantics);
+    head/aux always train at the full rate."""
     lr = schedule if schedule is not None else cfg.lr
-    if cfg.optimizer == "adamw":
-        tx = optax.adamw(
-            lr,
-            b1=cfg.adam_beta1,
-            b2=cfg.adam_beta2,
-            weight_decay=cfg.weight_decay,
-        )
+    scale = getattr(cfg, "backbone_lr_scale", 1.0)
+    if scale == 1.0:
+        tx = _base_tx(cfg, lr)
     else:
-        tx = optax.chain(
-            optax.add_decayed_weights(cfg.weight_decay),
-            optax.trace(decay=cfg.momentum, nesterov=False),
-            optax.scale_by_learning_rate(lr),
+        if scale == 0.0:
+            tx_bb = optax.set_to_zero()
+        elif schedule is not None:
+            tx_bb = _base_tx(cfg, lambda count: schedule(count) * scale)
+        else:
+            tx_bb = _base_tx(cfg, cfg.lr * scale)
+
+        def labels(params):
+            import jax
+
+            return {
+                k: jax.tree_util.tree_map(
+                    lambda _: "backbone" if k == "backbone" else "rest", v
+                )
+                for k, v in params.items()
+            }
+
+        tx = optax.multi_transform(
+            {"backbone": tx_bb, "rest": _base_tx(cfg, lr)}, labels
         )
     if cfg.grad_clip_norm:
         # clip BEFORE wd/momentum — the clipped gradient is what enters
         # the torch-order update; inside MultiSteps so accumulation
-        # averages raw gradients and the clip sees the average
+        # averages raw gradients and the clip sees the average. The
+        # global norm is taken over ALL grads (incl. a frozen backbone's,
+        # which are then zeroed) — the standard composition
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
     if cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
