@@ -211,6 +211,10 @@ class TrainingConfig:
     # 0 = freeze the backbone (no update / wd / momentum advance);
     # 0.1 is the usual setting for pretrained transformer backbones.
     backbone_lr_scale: float = 1.0
+    # stop after N epochs without val-loss improvement (extension;
+    # 0/None = off, reference parity: always run every epoch). The best
+    # checkpoint is saved either way.
+    early_stop_patience: Optional[int] = None
     aux_weight: float = 0.4  # train.py:315
     rmi_radius: int = 3
     rmi_pool_way: int = 0
@@ -299,6 +303,8 @@ class TrainingConfig:
     @classmethod
     def from_dict(cls, d: dict) -> "TrainingConfig":
         d = dict(d or {})
+        if "learning_rate" in d:  # common alias for the reference's `lr`
+            d.setdefault("lr", d.pop("learning_rate"))
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in known}
         # reference uses coarse_weight/super_weight in example config but

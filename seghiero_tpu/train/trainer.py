@@ -441,6 +441,7 @@ class Trainer:
         self.state = self._init_state()
         self.start_epoch = 0
         self.best_val_loss = float("inf")
+        self._epochs_since_best = 0
         self.ckpt = CheckpointManager(
             cfg.output.checkpoint_dir, cfg.output.project_name
         )
@@ -757,6 +758,9 @@ class Trainer:
                 is_best = val["loss"] < self.best_val_loss
                 if is_best:
                     self.best_val_loss = val["loss"]
+                    self._epochs_since_best = 0
+                else:
+                    self._epochs_since_best += 1
                 self.ckpt.save(
                     self.state,
                     epoch=epoch + 1,
@@ -767,6 +771,18 @@ class Trainer:
                 )
                 if is_best and self.verbose:
                     print(f"→ Saved new best model (val_loss {val['loss']:.4f})\n")
+                patience = cfg.training.early_stop_patience
+                if patience and self._epochs_since_best >= patience:
+                    # extension: stop when val loss hasn't improved for
+                    # `patience` epochs (the best checkpoint is already
+                    # saved; the reference always runs every epoch)
+                    if self.verbose:
+                        print(
+                            f"→ Early stop: no val-loss improvement for "
+                            f"{patience} epoch(s) (best "
+                            f"{self.best_val_loss:.4f})"
+                        )
+                    break
             if self.verbose and self._last_eval is not None:
                 # final per-class IoU report (extension; reference has no
                 # mIoU) — from the last epoch's accumulator, not a second

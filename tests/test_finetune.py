@@ -91,3 +91,20 @@ def test_trainer_freeze_end_to_end(classes_2level, tmp_path):
         )
     )
     assert head_moved
+
+
+def test_early_stopping(classes_2level, tmp_path):
+    """training.early_stop_patience halts when val loss stops improving;
+    the fit history is then shorter than training.epochs."""
+    from tests.test_train_e2e import tiny_config
+    from seghiero_tpu.train.trainer import Trainer
+
+    # lr 0 → params never change → val loss identical every epoch →
+    # epoch 1 is "best", epoch 2 is no-improvement #1 → stop at 2
+    cfg = tiny_config(
+        classes_2level, tmp_path, epochs=6, size=4, lr=0.0,
+        extra_training={"early_stop_patience": 1},
+    )
+    trainer = Trainer(cfg, verbose=False)
+    history = trainer.fit()
+    assert len(history) == 2
