@@ -13,7 +13,6 @@ import pytest
 
 from seghiero_tpu.losses.extra import dice_loss, lovasz_softmax
 
-pytestmark = pytest.mark.fast
 
 
 def np_softmax(x):
@@ -65,6 +64,7 @@ def case(rng):
     return logits, labels, C
 
 
+@pytest.mark.fast
 def test_dice_matches_numpy(case):
     logits, labels, C = case
     got = float(dice_loss(jnp.asarray(logits), jnp.asarray(labels), C))
@@ -72,6 +72,7 @@ def test_dice_matches_numpy(case):
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+@pytest.mark.fast
 def test_lovasz_matches_numpy(case):
     logits, labels, C = case
     got = float(lovasz_softmax(jnp.asarray(logits), jnp.asarray(labels), C))
@@ -79,6 +80,7 @@ def test_lovasz_matches_numpy(case):
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+@pytest.mark.fast
 def test_perfect_prediction_near_zero(rng):
     C = 4
     labels = rng.integers(0, C, (1, 8, 8)).astype(np.int32)
@@ -89,6 +91,7 @@ def test_perfect_prediction_near_zero(rng):
     assert float(dice_loss(jnp.asarray(logits), jnp.asarray(labels), C)) < 1e-3
 
 
+@pytest.mark.fast
 def test_ignored_pixels_have_no_gradient_influence(case):
     logits, labels, C = case
     bumped = logits.copy()
@@ -99,6 +102,7 @@ def test_ignored_pixels_have_no_gradient_influence(case):
         np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+@pytest.mark.fast
 def test_losses_are_differentiable(case):
     logits, labels, C = case
     for fn in (dice_loss, lovasz_softmax):
@@ -107,6 +111,7 @@ def test_losses_are_differentiable(case):
         assert float(jnp.abs(g).sum()) > 0
 
 
+@pytest.mark.fast
 def test_config_validation():
     from seghiero_tpu.config import TrainingConfig
 

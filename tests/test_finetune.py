@@ -12,7 +12,6 @@ import pytest
 from seghiero_tpu.config import TrainingConfig
 from seghiero_tpu.train.optim import make_optimizer, make_schedule
 
-pytestmark = pytest.mark.fast
 
 
 def _tree(val):
@@ -23,6 +22,7 @@ def _tree(val):
     }
 
 
+@pytest.mark.fast
 def test_scale_multiplies_backbone_update_only():
     cfg = TrainingConfig.from_dict(
         {"lr": 0.1, "momentum": 0.0, "weight_decay": 0.0,
@@ -36,6 +36,7 @@ def test_scale_multiplies_backbone_update_only():
     np.testing.assert_allclose(updates["aux_head"]["w"], -0.2, rtol=1e-6)
 
 
+@pytest.mark.fast
 def test_scale_composes_with_schedule():
     cfg = TrainingConfig.from_dict(
         {"lr": 0.1, "momentum": 0.0, "weight_decay": 0.0,
@@ -49,6 +50,7 @@ def test_scale_composes_with_schedule():
     np.testing.assert_allclose(updates["head"]["w"], -0.2, rtol=1e-6)
 
 
+@pytest.mark.fast
 def test_zero_freezes_backbone():
     cfg = TrainingConfig.from_dict(
         {"lr": 0.1, "backbone_lr_scale": 0.0, "weight_decay": 1e-2}
@@ -61,6 +63,7 @@ def test_zero_freezes_backbone():
     assert float(jnp.abs(updates["head"]["w"]).sum()) > 0
 
 
+@pytest.mark.fast
 def test_validation():
     with pytest.raises(ValueError, match="backbone_lr_scale"):
         TrainingConfig.from_dict({"backbone_lr_scale": -0.5})
