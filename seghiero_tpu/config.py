@@ -421,17 +421,25 @@ class OutputConfig:
     metrics_jsonl: Optional[str] = None  # extension: persist epoch history
     profile_dir: Optional[str] = None  # extension: jax.profiler trace dir
     tensorboard_dir: Optional[str] = None  # extension: TB scalar writer
+    # extension: export N val predictions per epoch as colorized PNGs to
+    # <checkpoint_dir>/<project>/samples/epoch_NNN/ — visual training
+    # progress at a glance. 0 = off.
+    sample_images: int = 0
 
     @classmethod
     def from_dict(cls, d: dict) -> "OutputConfig":
         d = dict(d or {})
-        return cls(
+        out = cls(
             checkpoint_dir=str(d.get("checkpoint_dir", "./")),
             project_name=str(d.get("project_name", "seghiero")),
             metrics_jsonl=d.get("metrics_jsonl"),
             profile_dir=d.get("profile_dir"),
             tensorboard_dir=d.get("tensorboard_dir"),
+            sample_images=int(d.get("sample_images", 0)),
         )
+        if out.sample_images < 0:
+            raise ValueError("output.sample_images must be >= 0")
+        return out
 
 
 @dataclasses.dataclass(frozen=True)

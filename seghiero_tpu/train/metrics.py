@@ -75,6 +75,17 @@ def miou_from_confusion(cm: np.ndarray) -> float:
     return float(np.mean(ious[present]))
 
 
+def macc_from_confusion(cm: np.ndarray) -> float:
+    """Mean of per-class recall over classes present in truth (mmseg's
+    "mAcc"; complements the all-pixel "aAcc" and mIoU)."""
+    cm = np.asarray(cm, np.float64)
+    tp, truth = np.diag(cm), cm.sum(1)
+    present = truth > 0
+    if not present.any():
+        return 0.0
+    return float(np.mean(tp[present] / truth[present]))
+
+
 def accuracy_topk(logits: jax.Array, labels: jax.Array, topk=(1,), thresh=None):
     """mmseg-style top-k accuracy (models/loss/accuracy.py:4-49 of the
     reference — dead code there, live utility here). logits [..., C]."""
@@ -120,6 +131,7 @@ class SegMetrics:
         for lvl in self.num_classes_per_level:
             out[f"{lvl}_acc"] = self.correct[lvl] / max(self.valid[lvl], 1)
             out[f"{lvl}_miou"] = miou_from_confusion(self.cms[lvl])
+            out[f"{lvl}_macc"] = macc_from_confusion(self.cms[lvl])
         return out
 
     def iou_table(self, names_per_level: Dict[str, Dict[int, str]]) -> str:

@@ -729,6 +729,7 @@ class Trainer:
                 train_loss = float(loss_sum) / loss_n if loss_n else running
 
                 val = self.evaluate()
+                self._export_samples(epoch)
                 record = {
                     "epoch": epoch + 1,
                     "train_loss": train_loss,
@@ -793,6 +794,70 @@ class Trainer:
         return history
 
     _last_eval: Any = dataclasses.field(default=None, init=False, repr=False)
+    _sample_predict: Any = dataclasses.field(default=None, init=False, repr=False)
+
+    def _export_samples(self, epoch: int) -> None:
+        """``output.sample_images``: write N val predictions (plus the
+        input and fine ground truth) as colorized PNGs under
+        ``<checkpoint_dir>/<project>/samples/epoch_NNN/`` — visual
+        training progress at a glance (extension; off by default)."""
+        n = self.cfg.output.sample_images
+        if not n:
+            return
+        import os
+
+        from PIL import Image
+
+        from seghiero_tpu.infer.viz import create_colormap, mask_to_color_image
+
+        cfg, h = self.cfg, self.cfg.hierarchy
+        batch = next(iter(self.val_loader))
+        if self._sample_predict is None:
+            model = self.model
+            use_ema = cfg.training.ema_decay > 0
+
+            def predict(state: TrainState, batch: Dict):
+                params = state.ema_params if use_ema else state.params
+                variables = {"params": params, "batch_stats": state.batch_stats}
+                images = normalize_images(
+                    batch["image"],
+                    cfg.transform.normalize_mean,
+                    cfg.transform.normalize_std,
+                )
+                out = model.apply(variables, images, train=False)
+                logits = resize_bilinear(
+                    out["logits"], batch["fine"].shape[1:3]
+                )
+                levels = ("fine", "coarse", "super")
+                return {
+                    lvl: jnp.argmax(logits[..., lo:hi], -1).astype(jnp.int32)
+                    for lvl, (lo, hi) in zip(levels, h.level_slices)
+                }
+
+            self._sample_predict = jax.jit(predict)
+        preds = jax.device_get(self._sample_predict(self.state, batch))
+        outdir = os.path.join(
+            cfg.output.checkpoint_dir,
+            cfg.output.project_name,
+            "samples",
+            f"epoch_{epoch + 1:03d}",
+        )
+        os.makedirs(outdir, exist_ok=True)
+        counts = {"fine": h.n_fine, "coarse": h.n_coarse, "super": h.n_super}
+        imgs = np.asarray(batch["image"])
+        gts = np.asarray(batch["fine"])
+        for i in range(min(n, imgs.shape[0])):
+            Image.fromarray(imgs[i].astype(np.uint8)).save(
+                os.path.join(outdir, f"img{i}.png")
+            )
+            gt = np.where(gts[i] == h.ignore_index, -1, gts[i])  # 255 → black
+            gt_color = mask_to_color_image(gt, create_colormap(counts["fine"]))
+            gt_color.save(os.path.join(outdir, f"img{i}_gt_fine.png"))
+            for lvl, m in preds.items():
+                color = mask_to_color_image(
+                    np.asarray(m[i]), create_colormap(counts[lvl])
+                )
+                color.save(os.path.join(outdir, f"img{i}_pred_{lvl}.png"))
 
     def _iou_table(self, acc) -> str:
         h = self.cfg.hierarchy

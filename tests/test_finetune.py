@@ -111,3 +111,21 @@ def test_early_stopping(classes_2level, tmp_path):
     trainer = Trainer(cfg, verbose=False)
     history = trainer.fit()
     assert len(history) == 2
+
+
+def test_sample_image_export(classes_2level, tmp_path):
+    """output.sample_images writes input/gt/pred PNGs per epoch."""
+    import os
+
+    from tests.test_train_e2e import tiny_config
+    from seghiero_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(classes_2level, tmp_path, epochs=1, size=4)
+    import dataclasses as dc
+
+    cfg = dc.replace(cfg, output=dc.replace(cfg.output, sample_images=2))
+    Trainer(cfg, verbose=False).fit()
+    d = os.path.join(str(tmp_path), "t", "samples", "epoch_001")
+    for i in range(2):
+        for suffix in ("", "_gt_fine", "_pred_fine", "_pred_coarse"):
+            assert os.path.exists(os.path.join(d, f"img{i}{suffix}.png")), suffix

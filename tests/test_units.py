@@ -32,6 +32,10 @@ def test_miou_and_pixel_acc():
     assert (int(correct), int(valid)) == (4, 5)
     # IoUs: 0: 2/3, 1: 1/2, 2: 1/1
     np.testing.assert_allclose(miou_from_confusion(cm), (2 / 3 + 1 / 2 + 1) / 3)
+    # per-class recalls: 0: 2/3, 1: 1/1, 2: 1/1 (mmseg mAcc)
+    from seghiero_tpu.train.metrics import macc_from_confusion
+
+    np.testing.assert_allclose(macc_from_confusion(cm), (2 / 3 + 1 + 1) / 3)
 
 
 def test_confusion_matrix_matches_numpy_on_random(rng):
