@@ -234,6 +234,12 @@ class TrainingConfig:
     # MXU) — faster 3-level steps at relaxed parity tolerances
     rmi_precision: str = "parity"
     triplet_schedule_unit: str = "step"
+    # OHEM hard-pixel mining on the per-level CE terms (losses/ohem.py,
+    # mmseg OHEMPixelSampler semantics rebuilt TPU-static): keep pixels
+    # with true-class prob < ohem_thresh, floored at ohem_min_kept
+    # hardest pixels PER IMAGE. None = off (reference parity).
+    ohem_thresh: Optional[float] = None
+    ohem_min_kept: int = 100_000
     # hierarchy term: "bce" (reference live path, ×5 scale) or "focal"
     # (the reference's dead focal variant made live — hiera_loss.py:
     # 72-115, γ below, no ×5 scale; genuine 3-level form on 3-level
@@ -315,6 +321,10 @@ class TrainingConfig:
             raise ValueError("rmi_pool_size must equal rmi_pool_stride")
         if out.triplet_schedule_unit not in ("step", "epoch"):
             raise ValueError("triplet_schedule_unit must be 'step' or 'epoch'")
+        if out.ohem_thresh is not None and not (0.0 < out.ohem_thresh <= 1.0):
+            raise ValueError("ohem_thresh must be in (0, 1]")
+        if out.ohem_min_kept < 0:
+            raise ValueError("ohem_min_kept must be >= 0")
         if out.parallel_mode not in ("pjit", "ddp"):
             raise ValueError("parallel_mode must be 'pjit' or 'ddp'")
         if out.rmi_streaming not in ("auto", "on", "off"):

@@ -22,7 +22,7 @@ Both are exposed via ``divide_by``.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,7 @@ def softmax_cross_entropy(
     avg_factor: Optional[float] = None,
     divide_by: str = "all",
     loss_weight: float = 1.0,
+    ohem: Optional[Tuple[float, int]] = None,
 ) -> jax.Array:
     """Cross entropy on ``logits`` [..., C] vs integer ``labels`` [...].
 
@@ -76,11 +77,18 @@ def softmax_cross_entropy(
         (utils.py:45-54).
       divide_by: 'all' (mmseg wrapper parity) or 'valid' (torch default
         CE parity); only used when reduction='mean' and avg_factor=None.
+      ohem: optional ``(thresh, batch_kept)`` hard-pixel mining — the
+        kept-pixel 0/1 mask (losses/ohem.py) multiplies into ``weight``.
     """
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if ohem is not None:
+        from seghiero_tpu.losses.ohem import ohem_pixel_weight
+
+        w = ohem_pixel_weight(jnp.exp(-nll), valid, ohem[0], ohem[1])
+        weight = w if weight is None else weight * w
     if class_weight is not None:
         class_weight = jnp.asarray(class_weight, jnp.float32)
         nll = nll * class_weight[safe]
@@ -94,6 +102,9 @@ def softmax_cross_entropy(
             valid_denom = jnp.maximum(
                 jnp.sum(jnp.where(valid, class_weight[safe], 0.0)), 1e-12
             )
+        elif ohem is not None:
+            # 'valid' semantics under OHEM: average over the KEPT pixels
+            valid_denom = jnp.maximum(jnp.sum(weight), 1.0)
         else:
             valid_denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
     else:

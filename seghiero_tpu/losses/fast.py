@@ -62,15 +62,26 @@ def _masked_level_bce(pos_l, neg_l, targets, n, ignore_index, eps):
     return jnp.sum(jnp.where(valid, -term, 0.0)) / (nv * n)
 
 
-def _ce_cmajor(logits, targets, ignore_index, divide_by="all"):
+def _ce_cmajor(logits, targets, ignore_index, divide_by="all", ohem=None):
     """Softmax CE on [B, C, H, W] logits; label pick via broadcast-compare
-    (full-res gathers are ~10× slower than compare-select on TPU)."""
+    (full-res gathers are ~10× slower than compare-select on TPU).
+    ``ohem``: optional ``(thresh, batch_kept)`` hard-pixel mining
+    (losses/ohem.py) — the keep-mask multiplies the per-pixel loss."""
     n = logits.shape[1]
     logp = jax.nn.log_softmax(logits, axis=1)
     valid = targets != ignore_index
     safe = jnp.where(valid, targets, 0)[:, None]
     pick = jnp.sum(jnp.where(safe == _class_iota(n), logp, 0.0), axis=1)
-    total = jnp.sum(jnp.where(valid, -pick, 0.0))
+    nll = jnp.where(valid, -pick, 0.0)
+    if ohem is not None:
+        from seghiero_tpu.losses.ohem import ohem_pixel_weight
+
+        w = ohem_pixel_weight(jnp.exp(pick), valid, ohem[0], ohem[1])
+        total = jnp.sum(nll * w)
+        if divide_by == "all":
+            return total / targets.size
+        return total / jnp.maximum(jnp.sum(w), 1.0)
+    total = jnp.sum(nll)
     if divide_by == "all":
         return total / targets.size
     return total / jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
@@ -328,7 +339,8 @@ class FastHieraTripletLoss:
 
     def __init__(self, hierarchy, loss_weight=1.0, schedule_total_steps=80_000,
                  axis_name: Optional[str] = None, use_pallas: bool = False,
-                 hiera_variant: str = "bce", focal_gamma: float = 2.0):
+                 hiera_variant: str = "bce", focal_gamma: float = 2.0,
+                 ohem=None):
         self.h = hierarchy
         self.loss_weight = loss_weight
         self.schedule_total_steps = schedule_total_steps
@@ -336,6 +348,7 @@ class FastHieraTripletLoss:
         self.use_pallas = use_pallas
         self.hiera_variant = hiera_variant
         self.focal_gamma = focal_gamma
+        self.ohem = ohem  # (thresh, batch_kept) or None — losses/ohem.py
 
     def __call__(self, step, embedding, cls_score_before, cls_score, label):
         h = self.h
@@ -344,7 +357,9 @@ class FastHieraTripletLoss:
         t_fine, t_coarse = prepare_targets_two_level(label, h)
 
         use_pallas = False
-        if self.use_pallas and self.hiera_variant == "bce":
+        # the fused kernel computes CE inside the kernel (no per-pixel
+        # keep-mask hook); OHEM selection forces the unfused path
+        if self.use_pallas and self.hiera_variant == "bce" and self.ohem is None:
             from seghiero_tpu.ops.pallas.hiera2_fused import (
                 fused_hiera2_available,
                 fused_hiera2_loss_sums,
@@ -369,9 +384,14 @@ class FastHieraTripletLoss:
                 )
             else:
                 loss = hiera_bce_two_level_cmajor(lf, t_fine, t_coarse, h)
-            loss += _ce_cmajor(lf[:, : h.n_fine], t_fine, h.ignore_index)
             loss += _ce_cmajor(
-                lf[:, h.n_fine : h.n_fine + h.n_coarse], t_coarse, h.ignore_index
+                lf[:, : h.n_fine], t_fine, h.ignore_index, ohem=self.ohem
+            )
+            loss += _ce_cmajor(
+                lf[:, h.n_fine : h.n_fine + h.n_coarse],
+                t_coarse,
+                h.ignore_index,
+                ohem=self.ohem,
             )
         t, c = tree_triplet_loss_range(embedding, label, h)
         ready = triplet_readiness(c, self.axis_name)
@@ -390,7 +410,8 @@ class FastRMIHieraTripletLoss:
                  rmi_streaming: str = "auto", rmi_backend: str = "auto",
                  mesh=None, pallas_interpret: bool = False,
                  rmi_precision: str = "parity",
-                 hiera_variant: str = "bce", focal_gamma: float = 2.0):
+                 hiera_variant: str = "bce", focal_gamma: float = 2.0,
+                 ohem=None):
         self.h = hierarchy
         self.rmi_radius = rmi_radius
         self.loss_weight_lambda = loss_weight_lambda
@@ -408,6 +429,7 @@ class FastRMIHieraTripletLoss:
         self.rmi_precision = rmi_precision
         self.hiera_variant = hiera_variant
         self.focal_gamma = focal_gamma
+        self.ohem = ohem  # (thresh, batch_kept) or None — losses/ohem.py
 
     @property
     def schedule_total_steps(self):
@@ -460,9 +482,13 @@ class FastRMIHieraTripletLoss:
             precision=self.rmi_precision,
         )
         loss = self.loss_weight_lambda * rmi + 0.5 * hiera
-        loss += _ce_cmajor(lf[:, :nf], t_f, h.ignore_index)
-        loss += _ce_cmajor(lf[:, nf : nf + nm], t_m, h.ignore_index)
-        loss += _ce_cmajor(lf[:, nf + nm : nf + nm + nh_], t_h, h.ignore_index)
+        loss += _ce_cmajor(lf[:, :nf], t_f, h.ignore_index, ohem=self.ohem)
+        loss += _ce_cmajor(
+            lf[:, nf : nf + nm], t_m, h.ignore_index, ohem=self.ohem
+        )
+        loss += _ce_cmajor(
+            lf[:, nf + nm : nf + nm + nh_], t_h, h.ignore_index, ohem=self.ohem
+        )
 
         upper, lower = (
             (tuple(self.upper_ids), tuple(self.lower_ids))

@@ -276,6 +276,9 @@ class HieraTripletLoss:
     # variant made selectable — losses/focal.py, hiera_loss.py:72-115)
     hiera_variant: str = "bce"
     focal_gamma: float = 2.0
+    # optional (thresh, batch_kept) hard-pixel mining on the per-level CE
+    # terms (losses/ohem.py); None = reference behavior (all pixels)
+    ohem: Optional[Tuple[float, int]] = None
 
     def __call__(
         self,
@@ -296,10 +299,13 @@ class HieraTripletLoss:
         else:
             loss = hiera_bce_two_level(cls_score, t_fine, t_coarse, h)
         loss = loss + softmax_cross_entropy(
-            cls_score[..., : h.n_fine], t_fine, divide_by="all"
+            cls_score[..., : h.n_fine], t_fine, divide_by="all", ohem=self.ohem
         )
         loss = loss + softmax_cross_entropy(
-            cls_score[..., h.n_fine : h.n_fine + h.n_coarse], t_coarse, divide_by="all"
+            cls_score[..., h.n_fine : h.n_fine + h.n_coarse],
+            t_coarse,
+            divide_by="all",
+            ohem=self.ohem,
         )
 
         triplet, class_count = tree_triplet_loss_range(

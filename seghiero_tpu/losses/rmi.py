@@ -288,6 +288,9 @@ class RMIHieraTripletLoss:
     # 3-level focal made live — losses/focal.py:hiera_focal_three_level)
     hiera_variant: str = "bce"
     focal_gamma: float = 2.0
+    # optional (thresh, batch_kept) hard-pixel mining on the per-level CE
+    # terms (losses/ohem.py); None = reference behavior (all pixels)
+    ohem: Optional[Tuple[float, int]] = None
 
     def __post_init__(self):
         if self.rmi_pool_size != self.rmi_pool_stride:
@@ -348,10 +351,14 @@ class RMIHieraTripletLoss:
 
         loss = self.loss_weight_lambda * rmi + 0.5 * hiera_loss
 
-        loss = loss + softmax_cross_entropy(cls_score[..., :n_f], t_fine)
-        loss = loss + softmax_cross_entropy(cls_score[..., n_f : n_f + n_m], t_mid)
         loss = loss + softmax_cross_entropy(
-            cls_score[..., n_f + n_m : n_f + n_m + n_h], t_high
+            cls_score[..., :n_f], t_fine, ohem=self.ohem
+        )
+        loss = loss + softmax_cross_entropy(
+            cls_score[..., n_f : n_f + n_m], t_mid, ohem=self.ohem
+        )
+        loss = loss + softmax_cross_entropy(
+            cls_score[..., n_f + n_m : n_f + n_m + n_h], t_high, ohem=self.ohem
         )
 
         upper, lower = self._groups()

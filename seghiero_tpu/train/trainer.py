@@ -79,6 +79,18 @@ def make_composite_loss(
     nested shard_map over the batch dim."""
     h = cfg.hierarchy
     t = cfg.training
+    # OHEM keep-floor is per image in config, per batch in the sampler
+    # (mmseg multiplies min_kept by the batch size). In ddp mode the
+    # composite runs per replica on its LOCAL shard, so the multiplier is
+    # the local batch.
+    local_batch = t.batch_size
+    if axis_name is not None and mesh is not None:
+        local_batch = max(1, t.batch_size // mesh.shape[axis_name])
+    ohem = (
+        (t.ohem_thresh, t.ohem_min_kept * local_batch)
+        if t.ohem_thresh is not None
+        else None
+    )
     if t.fast_losses:
         from seghiero_tpu.losses.fast import (
             FastHieraTripletLoss,
@@ -98,6 +110,7 @@ def make_composite_loss(
                 rmi_precision=t.rmi_precision,
                 hiera_variant=t.hiera_variant,
                 focal_gamma=t.focal_gamma,
+                ohem=ohem,
             )
         return FastHieraTripletLoss(
             h,
@@ -106,6 +119,7 @@ def make_composite_loss(
             use_pallas=t.pallas_fused_loss,
             hiera_variant=t.hiera_variant,
             focal_gamma=t.focal_gamma,
+            ohem=ohem,
         )
     if h.has_super:
         return RMIHieraTripletLoss(
@@ -119,6 +133,7 @@ def make_composite_loss(
             axis_name=axis_name,
             hiera_variant=t.hiera_variant,
             focal_gamma=t.focal_gamma,
+            ohem=ohem,
         )
     return HieraTripletLoss(
         hierarchy=h,
@@ -126,6 +141,7 @@ def make_composite_loss(
         axis_name=axis_name,
         hiera_variant=t.hiera_variant,
         focal_gamma=t.focal_gamma,
+        ohem=ohem,
     )
 
 
@@ -461,7 +477,9 @@ class Trainer:
         bshard = bsh  # same (possibly H-sharded) layout the loaders emit
         donate = (0,) if cfg.training.donate_state else ()
         if cfg.training.parallel_mode == "ddp" and self.mesh.shape[DATA_AXIS] >= 1:
-            ddp_composite = make_composite_loss(cfg, axis_name=DATA_AXIS)
+            ddp_composite = make_composite_loss(
+                cfg, axis_name=DATA_AXIS, mesh=self.mesh
+            )
             # sync_bn: cross-replica BN stats (psum over the data axis)
             # instead of the reference's per-device BN — same param tree,
             # so checkpoints interchange freely
