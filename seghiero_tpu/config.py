@@ -254,6 +254,13 @@ class TrainingConfig:
     #         local BN batches, triplet gate = every replica has
     #         triplets (pmin collective), grads pmean'd.
     parallel_mode: str = "pjit"
+    # "replicated" (default): params/opt-state replicated on every
+    # device, grads all-reduced — plain data parallelism.
+    # "fsdp": params, optimizer state and EMA sharded over the `data`
+    # axis (ZeRO/FSDP semantics; parallel/mesh.py:fsdp_state_sharding) —
+    # XLA all-gathers each weight just-in-time and reduce-scatters its
+    # gradient, cutting per-device state memory ~data×. pjit mode only.
+    param_sharding: str = "replicated"
     # ddp mode only: compute BatchNorm statistics across replicas
     # (sync-BN, a psum over the data axis riding ICI) instead of the
     # reference's per-device BN. No effect in pjit mode, which already
@@ -327,6 +334,13 @@ class TrainingConfig:
             raise ValueError("ohem_min_kept must be >= 0")
         if out.parallel_mode not in ("pjit", "ddp"):
             raise ValueError("parallel_mode must be 'pjit' or 'ddp'")
+        if out.param_sharding not in ("replicated", "fsdp"):
+            raise ValueError("param_sharding must be 'replicated' or 'fsdp'")
+        if out.param_sharding == "fsdp" and out.parallel_mode != "pjit":
+            raise ValueError(
+                "param_sharding: fsdp requires parallel_mode: pjit (the ddp "
+                "shard_map replicates the state per replica by construction)"
+            )
         if out.rmi_streaming not in ("auto", "on", "off"):
             raise ValueError("rmi_streaming must be 'auto', 'on' or 'off'")
         if out.rmi_backend not in ("auto", "pallas", "xla"):

@@ -7,7 +7,9 @@ Rebuilds train.py of the reference (C16) TPU-first:
     the SGD update all compile into a single XLA program (the reference
     re-launches hundreds of kernels per step and syncs with ``.item()``
     per batch, train.py:319).
-  * batch sharded over the mesh 'data' axis; params/opt-state replicated.
+  * batch sharded over the mesh 'data' axis; params/opt-state replicated
+    by default, or FSDP/ZeRO-sharded over 'data' with
+    ``training.param_sharding: fsdp`` (parallel/mesh.py).
     The gradient all-reduce is inserted by the partitioner (implicit
     pjit data parallelism); BatchNorm statistics are computed over the
     *global* batch (sync-BN semantics — deliberate divergence from the
@@ -476,6 +478,16 @@ class Trainer:
         rep = replicated_sharding(self.mesh)
         bshard = bsh  # same (possibly H-sharded) layout the loaders emit
         donate = (0,) if cfg.training.donate_state else ()
+        if cfg.training.param_sharding == "fsdp" and self.mesh.shape[DATA_AXIS] > 1:
+            # ZeRO/FSDP: state sharded over `data`; XLA all-gathers each
+            # weight just-in-time, reduce-scatters its gradient, and runs
+            # the optimizer update sharded (parallel/mesh.py)
+            from seghiero_tpu.parallel.mesh import fsdp_state_sharding
+
+            state_sh = fsdp_state_sharding(self.mesh, self.state)
+            self.state = jax.device_put(self.state, state_sh)
+        else:
+            state_sh = rep
         if cfg.training.parallel_mode == "ddp" and self.mesh.shape[DATA_AXIS] >= 1:
             ddp_composite = make_composite_loss(
                 cfg, axis_name=DATA_AXIS, mesh=self.mesh
@@ -495,8 +507,8 @@ class Trainer:
             raw_step = make_train_step(self.model, self.composite, self.cfg, self.tx)
         self._train_step = jax.jit(
             raw_step,
-            in_shardings=(rep, bshard, None),
-            out_shardings=(rep, rep),
+            in_shardings=(state_sh, bshard, None),
+            out_shardings=(state_sh, rep),
             donate_argnums=donate,
         )
         if cfg.training.steps_per_dispatch > 1:
@@ -524,8 +536,8 @@ class Trainer:
             sbshard = stacked_batch_sharding(self.mesh, spatial=sp > 1)
             self._train_superstep = jax.jit(
                 superstep,
-                in_shardings=(rep, sbshard, None),
-                out_shardings=(rep, rep),
+                in_shardings=(state_sh, sbshard, None),
+                out_shardings=(state_sh, rep),
                 donate_argnums=donate,
             )
             # one jitted stack per dispatch (device-side; K eager stacks
@@ -536,7 +548,7 @@ class Trainer:
             )
         self._eval_step = jax.jit(
             make_eval_step(self.model, self.composite, self.cfg),
-            in_shardings=(rep, bshard),
+            in_shardings=(state_sh, bshard),
             out_shardings=rep,
         )
 
