@@ -261,6 +261,12 @@ class TrainingConfig:
     # XLA all-gathers each weight just-in-time and reduce-scatters its
     # gradient, cutting per-device state memory ~data×. pjit mode only.
     param_sharding: str = "replicated"
+    # Megatron-style tensor parallelism over the `model` mesh axis
+    # (parallel/tensor.py): attention q/k/v column-parallel, output
+    # projection + FFN second matmul row-parallel. Meaningful for the
+    # transformer backbones (mit/swin); unmatched leaves (conv
+    # backbones, heads, norms) stay on their base sharding. pjit only.
+    tensor_shards: int = 1
     # ddp mode only: compute BatchNorm statistics across replicas
     # (sync-BN, a psum over the data axis riding ICI) instead of the
     # reference's per-device BN. No effect in pjit mode, which already
@@ -363,6 +369,18 @@ class TrainingConfig:
             raise ValueError("spatial_shards must be >= 1")
         if not (0.0 <= out.ema_decay < 1.0):
             raise ValueError("ema_decay must be in [0, 1)")
+        if out.tensor_shards < 1:
+            raise ValueError("tensor_shards must be >= 1")
+        if out.tensor_shards > 1 and out.parallel_mode != "pjit":
+            raise ValueError(
+                "tensor_shards > 1 requires parallel_mode: pjit (weight "
+                "sharding is a partitioner feature)"
+            )
+        if out.tensor_shards > 1 and out.spatial_shards > 1:
+            raise ValueError(
+                "tensor_shards and spatial_shards both ride the `model` "
+                "mesh axis — enable at most one"
+            )
         if out.spatial_shards > 1 and out.parallel_mode != "pjit":
             raise ValueError(
                 "spatial_shards > 1 requires parallel_mode: pjit (the ddp "

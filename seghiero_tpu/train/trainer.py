@@ -384,18 +384,21 @@ class Trainer:
         if cfg.training.debug_nans:
             jax.config.update("jax_debug_nans", True)
         sp = cfg.training.spatial_shards
+        tp = cfg.training.tensor_shards
         if self.mesh is None:
             spec = dict(cfg.training.mesh)
-            if sp > 1:
-                # height shards ride the `model` mesh axis
-                # (parallel/spatial.py) — TP is size 1 in this model family
-                if spec.get("model", 1) not in (1, sp):
+            if sp > 1 or tp > 1:
+                # height shards (spatial) or Megatron weight shards (TP)
+                # ride the `model` mesh axis; config validation rejects
+                # enabling both
+                want = sp if sp > 1 else tp
+                which = "spatial_shards" if sp > 1 else "tensor_shards"
+                if spec.get("model", 1) not in (1, want):
                     raise ValueError(
                         f"training.mesh model axis {spec['model']} conflicts "
-                        f"with spatial_shards={sp} (H sharding rides the "
-                        "model axis)"
+                        f"with {which}={want} (it rides the model axis)"
                     )
-                spec["model"] = sp
+                spec["model"] = want
             if spec.get("data", -1) == -1:
                 # default: as many data shards as divide the batch evenly
                 import math
@@ -478,13 +481,30 @@ class Trainer:
         rep = replicated_sharding(self.mesh)
         bshard = bsh  # same (possibly H-sharded) layout the loaders emit
         donate = (0,) if cfg.training.donate_state else ()
-        if cfg.training.param_sharding == "fsdp" and self.mesh.shape[DATA_AXIS] > 1:
+        fsdp_on = (
+            cfg.training.param_sharding == "fsdp"
+            and self.mesh.shape[DATA_AXIS] > 1
+        )
+        tp_on = cfg.training.tensor_shards > 1
+        if fsdp_on or tp_on:
             # ZeRO/FSDP: state sharded over `data`; XLA all-gathers each
             # weight just-in-time, reduce-scatters its gradient, and runs
-            # the optimizer update sharded (parallel/mesh.py)
+            # the optimizer update sharded (parallel/mesh.py). TP:
+            # Megatron column/row weight sharding over `model`
+            # (parallel/tensor.py); both compose — TP rules take the
+            # attention/FFN leaves, the base covers the rest.
             from seghiero_tpu.parallel.mesh import fsdp_state_sharding
 
-            state_sh = fsdp_state_sharding(self.mesh, self.state)
+            base = (
+                fsdp_state_sharding(self.mesh, self.state)
+                if fsdp_on
+                else jax.tree_util.tree_map(lambda _: rep, self.state)
+            )
+            if tp_on:
+                from seghiero_tpu.parallel.tensor import tp_state_sharding
+
+                base = tp_state_sharding(self.mesh, self.state, base)
+            state_sh = base
             self.state = jax.device_put(self.state, state_sh)
         else:
             state_sh = rep
