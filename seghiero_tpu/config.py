@@ -134,6 +134,13 @@ class ModelConfig:
     proj_dim: int = 256
     proj_type: str = "convmlp"
     dtype: str = "bfloat16"
+    # gradient checkpointing (rematerialization): recompute the
+    # backbone's internal activations during backward instead of
+    # storing them — activation memory for the backbone drops to its
+    # four output feature maps at the cost of one extra backbone
+    # forward per step. The standard HBM-for-FLOPs trade for large
+    # inputs / deep backbones; exact same math (tested).
+    remat: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "ModelConfig":
@@ -177,6 +184,7 @@ class ModelConfig:
             proj_dim=int(d.get("proj_dim", 256)),
             proj_type=str(d.get("proj_type", "convmlp")),
             dtype=str(d.get("dtype", "bfloat16")),
+            remat=bool(d.get("remat", False)),
         )
 
 

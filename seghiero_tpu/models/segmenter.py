@@ -57,6 +57,10 @@ class HieroSegmenter(nn.Module):
     # free-form option mappings for custom registry builders
     backbone_options: Any = None
     head_options: Any = None
+    # gradient checkpointing: recompute the backbone's internal
+    # activations in backward (jax.checkpoint via nn.remat) — only its
+    # four output feature maps are stored. model.remat in the config.
+    remat: bool = False
 
     def init_sample_hw(self) -> tuple:
         """Smallest input the assembled model can trace. Param shapes are
@@ -70,7 +74,17 @@ class HieroSegmenter(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
-        feats = backbone_builder(self.backbone)(self)(images, train)
+        bb = backbone_builder(self.backbone)(self)
+        if self.remat:
+            # lifted jax.checkpoint over the backbone apply; `train` is
+            # trace-static. Exact same math — XLA re-runs the backbone
+            # forward inside the backward pass instead of keeping its
+            # activations live across the loss computation.
+            feats = nn.remat(
+                lambda mdl, x, t: mdl(x, t), static_argnums=(2,)
+            )(bb, images, train)
+        else:
+            feats = bb(images, train)
         logits, embedding = head_builder(self.head_type)(self)(feats, train)
         out = {"logits": logits, "embedding": embedding}
         if self.with_aux:
@@ -262,4 +276,5 @@ def build_model(
         bn_axis=bn_axis,
         backbone_options=m.backbone_options,
         head_options=m.head_options,
+        remat=m.remat,
     )
