@@ -59,6 +59,7 @@ def build(
     backbone: str = None,
     backbone_variant: str = None,
     head: str = None,
+    remat: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -77,6 +78,7 @@ def build(
             "model": {
                 "depth": spec["depth"],
                 "dtype": dtype,
+                "remat": remat,
                 **({"backbone": backbone} if backbone else {}),
                 **(
                     {"backbone_options": {"variant": backbone_variant}}
@@ -252,6 +254,12 @@ def main():
         help="override model.head (sep_aspp_contrast|aspp|segformer_mlp)",
     )
     p.add_argument(
+        "--remat",
+        action="store_true",
+        help="model.remat (backbone gradient checkpointing) for the "
+        "train configs — measures the throughput cost of the memory win",
+    )
+    p.add_argument(
         "--dry-run", action="store_true", help="tiny shapes, CPU smoke run"
     )
     p.add_argument("--all", action="store_true", help="(default) run every config")
@@ -309,6 +317,7 @@ def main():
             backbone=args.backbone,
             backbone_variant=args.backbone_variant,
             head=args.head,
+            remat=args.remat,
         )
         n_chips = trainer.mesh.devices.size
         if spec["mode"] == "train":
