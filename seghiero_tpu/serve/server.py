@@ -1,0 +1,359 @@
+"""Micro-batching HTTP serving daemon for exported segmenters.
+
+Production serving extension (the reference has no serving path at all —
+its infer.py:253-312 rebuilds the model from source + a torch ``.pth``
+per invocation). This daemon completes the TPU serving story around
+``infer/export.py``:
+
+  artifact (StableHLO, weights embedded)  →  this process  →  HTTP
+
+Design, TPU-first:
+
+  * ONE dispatcher thread owns the device. HTTP handler threads only
+    decode the request and park on an event — all jax calls happen on
+    the dispatcher, so there is no cross-thread dispatch contention and
+    the device queue stays deep.
+  * micro-batching: concurrent requests are coalesced (up to
+    ``max_batch``, waiting at most ``batch_timeout_s`` after the first
+    arrival) into one device call — batched MXU work is where TPU
+    throughput lives; serving images one-by-one leaves most of the
+    chip idle.
+  * bucketed shapes: the artifact is batch-polymorphic, but each new
+    batch size still shape-specializes a compile. Batches are padded up
+    to the next power-of-two bucket (≤ max_batch) so steady state uses
+    a handful of cached programs and no compile ever lands on the hot
+    path after warmup.
+  * the full decode → predict → respond path never blocks the device:
+    PNG encode/decode is host work in the handler threads.
+
+Endpoints:
+  GET  /healthz   liveness + device platform
+  GET  /meta      the artifact's meta.json (shapes, levels, class names)
+  GET  /stats     request/batch counters (micro-batching evidence)
+  POST /predict   body = PNG/JPEG (any size; resized to the artifact's
+                  input) or a raw npy array [H,W,3] u8.
+                  ?format=json (default) → {"fine": [[...]], ...}
+                  ?format=npz            → npz bytes, one array/level
+                  ?format=png&level=fine → PNG of that level's mask
+
+CLI:  python -m seghiero_tpu.serve --artifact DIR [--port 8765]
+          [--max-batch 8] [--batch-timeout-ms 3] [--no-warmup]
+      (or --config/--checkpoint to export on the fly, then serve)
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+def _next_bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)
+
+
+class ServingModel:
+    """A loaded serving artifact + its calling convention.
+
+    ``predict`` pads the batch to a power-of-two bucket and runs the
+    exported program; jax caches one compiled specialization per bucket.
+    Single-consumer: call it from one thread (the dispatcher).
+    """
+
+    def __init__(self, artifact_dir: str):
+        import jax
+        import jax.numpy as jnp
+
+        from seghiero_tpu.infer.export import META_NAME, load_exported
+
+        self.exported = load_exported(artifact_dir)
+        meta_path = os.path.join(artifact_dir, META_NAME)
+        with open(meta_path) as f:
+            self.meta = json.load(f)
+        shape = self.meta["input"]["shape"]  # ["b", H, W, 3]
+        self.input_hw = (int(shape[1]), int(shape[2]))
+        self._call = jax.jit(self.exported.call)
+        self._jnp = jnp
+        self._jax = jax
+
+    def predict(self, images_u8: np.ndarray, max_batch: int) -> Dict[str, np.ndarray]:
+        n = images_u8.shape[0]
+        bucket = _next_bucket(n, max_batch)
+        if bucket > n:
+            pad = np.repeat(images_u8[-1:], bucket - n, axis=0)
+            images_u8 = np.concatenate([images_u8, pad], axis=0)
+        out = self._call(self._jnp.asarray(images_u8, self._jnp.uint8))
+        return {k: np.asarray(v[:n]) for k, v in out.items()}
+
+    def warmup(self, max_batch: int) -> None:
+        """Pre-compile every bucket size so no request pays a compile."""
+        h, w = self.input_hw
+        b = 1
+        while True:
+            self.predict(np.zeros((b, h, w, 3), np.uint8), max_batch)
+            if b >= max_batch:
+                break
+            b *= 2
+
+
+@dataclass
+class _Pending:
+    image: np.ndarray
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[Dict[str, np.ndarray]] = None
+    error: Optional[str] = None
+
+
+class MicroBatcher:
+    """Coalesce concurrent requests into device batches.
+
+    The dispatcher blocks for the first request, then drains the queue
+    for up to ``batch_timeout_s`` or until ``max_batch`` requests are in
+    hand, and issues ONE device call for the whole group.
+    """
+
+    def __init__(self, model: ServingModel, max_batch: int = 8,
+                 batch_timeout_s: float = 0.003):
+        self.model = model
+        self.max_batch = max_batch
+        self.batch_timeout_s = batch_timeout_s
+        self.q: "queue.Queue[_Pending]" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "batch_sizes": {}}
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def submit(self, image: np.ndarray, timeout_s: float = 60.0) -> Dict[str, np.ndarray]:
+        p = _Pending(image)
+        self.q.put(p)
+        if not p.done.wait(timeout_s):
+            raise TimeoutError("prediction timed out")
+        if p.error is not None:
+            raise RuntimeError(p.error)
+        return p.result
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.q.put(None)  # unblock the dispatcher
+        self.thread.join(timeout=5)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            first = self.q.get()
+            if first is None:
+                continue
+            group = [first]
+            deadline = time.monotonic() + self.batch_timeout_s
+            while len(group) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                group.append(nxt)
+            try:
+                batch = np.stack([p.image for p in group], axis=0)
+                out = self.model.predict(batch, self.max_batch)
+                for i, p in enumerate(group):
+                    p.result = {k: v[i] for k, v in out.items()}
+            except Exception as e:  # deliver the failure to every waiter
+                for p in group:
+                    p.error = f"{type(e).__name__}: {e}"
+            for p in group:
+                p.done.set()
+            self.stats["requests"] += len(group)
+            self.stats["batches"] += 1
+            key = str(len(group))
+            self.stats["batch_sizes"][key] = self.stats["batch_sizes"].get(key, 0) + 1
+
+
+def _decode_request(body: bytes, content_type: str, input_hw) -> np.ndarray:
+    """Request bytes → u8 [H, W, 3] at the artifact's input size."""
+    if "octet-stream" in content_type or body[:6] == b"\x93NUMPY":
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+        if arr.ndim != 3 or arr.shape[-1] != 3:
+            raise ValueError(f"npy must be [H,W,3] u8, got {arr.shape}")
+        arr = arr.astype(np.uint8)
+        if tuple(arr.shape[:2]) != tuple(input_hw):
+            raise ValueError(
+                f"npy input must already be {tuple(input_hw)}, got {arr.shape[:2]}"
+            )
+        return arr
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(body)).convert("RGB")
+    if img.size != (input_hw[1], input_hw[0]):  # PIL size is (W, H)
+        img = img.resize((input_hw[1], input_hw[0]), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
+
+
+def _encode_response(preds: Dict[str, np.ndarray], fmt: str, level: str):
+    """→ (bytes, content_type)."""
+    if fmt == "npz":
+        buf = io.BytesIO()
+        np.savez(buf, **{k: v.astype(np.int32) for k, v in preds.items()})
+        return buf.getvalue(), "application/octet-stream"
+    if fmt == "png":
+        from PIL import Image
+
+        if level not in preds:
+            raise ValueError(f"unknown level {level!r}; have {sorted(preds)}")
+        arr = preds[level]
+        if int(arr.max(initial=0)) > 255:
+            raise ValueError("png format supports <=256 classes; use npz")
+        buf = io.BytesIO()
+        Image.fromarray(arr.astype(np.uint8), mode="L").save(buf, format="PNG")
+        return buf.getvalue(), "image/png"
+    body = json.dumps({k: v.tolist() for k, v in preds.items()})
+    return body.encode(), "application/json"
+
+
+def make_server(model: ServingModel, host: str = "127.0.0.1", port: int = 8765,
+                max_batch: int = 8, batch_timeout_ms: float = 3.0,
+                quiet: bool = True) -> ThreadingHTTPServer:
+    """Build (but do not start) the HTTP server. ``server.batcher`` owns
+    the dispatcher thread; call ``server.batcher.stop()`` on shutdown."""
+    batcher = MicroBatcher(model, max_batch, batch_timeout_ms / 1e3)
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            if not quiet:
+                BaseHTTPRequestHandler.log_message(self, fmt, *args)
+
+        def _send(self, code: int, body: bytes, ctype: str = "application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                import jax
+
+                self._send(200, json.dumps(
+                    {"status": "ok", "platform": jax.default_backend()}
+                ).encode())
+            elif path == "/meta":
+                self._send(200, json.dumps(model.meta).encode())
+            elif path == "/stats":
+                self._send(200, json.dumps(batcher.stats).encode())
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path != "/predict":
+                self._send(404, b'{"error": "not found"}')
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                image = _decode_request(
+                    body, self.headers.get("Content-Type", ""), model.input_hw
+                )
+                preds = batcher.submit(image)
+                qs = parse_qs(parsed.query)
+                fmt = qs.get("format", ["json"])[0]
+                level = qs.get("level", ["fine"])[0]
+                out, ctype = _encode_response(preds, fmt, level)
+                self._send(200, out, ctype)
+            except Exception as e:
+                self._send(400, json.dumps(
+                    {"error": f"{type(e).__name__}: {e}"}
+                ).encode())
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher
+    return server
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(
+        description="Serve an exported segmenter over HTTP with micro-batching"
+    )
+    p.add_argument("--artifact", type=str, default=None,
+                   help="directory from `infer.py --export` (model.jaxexp + meta.json)")
+    p.add_argument("--config", type=str, default=None,
+                   help="alternative to --artifact: export on the fly from a "
+                   "YAML config (+ --checkpoint), then serve")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--consistent", action="store_true",
+                   help="hierarchy-consistent decode when exporting on the fly")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--batch-timeout-ms", type=float, default=3.0,
+                   help="how long the dispatcher waits to coalesce a batch "
+                   "after the first request arrives")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip pre-compiling the batch buckets at startup")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu); set before the "
+                   "backend initializes — env JAX_PLATFORMS alone is not "
+                   "honored where a sitecustomize pins a plugin")
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if not args.artifact and not args.config:
+        p.error("one of --artifact or --config is required")
+    artifact = args.artifact
+    if not artifact:
+        import tempfile
+
+        from seghiero_tpu.config import load_config
+        from seghiero_tpu.infer.export import export_predictor
+        from seghiero_tpu.infer.predictor import Predictor
+
+        cfg = load_config(args.config)
+        predictor = Predictor.from_checkpoint(cfg, args.checkpoint)
+        artifact = tempfile.mkdtemp(prefix="seghiero_serve_")
+        export_predictor(predictor, artifact, consistent=args.consistent)
+        print(f"→ Exported serving artifact to {artifact}")
+
+    model = ServingModel(artifact)
+    if not args.no_warmup:
+        t0 = time.perf_counter()
+        model.warmup(args.max_batch)
+        print(f"→ Warmed up batch buckets ≤{args.max_batch} "
+              f"in {time.perf_counter() - t0:.1f}s")
+    server = make_server(model, args.host, args.port, args.max_batch,
+                         args.batch_timeout_ms, quiet=not args.verbose)
+    print(f"→ Serving on http://{args.host}:{args.port} "
+          f"(input {model.input_hw}, max_batch {args.max_batch})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.batcher.stop()
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""HTTP serving daemon (seghiero_tpu/serve).
+
+End-to-end over a real socket: export a tiny artifact, start the server
+on an ephemeral port, POST images from several client threads, and check
+
+  * responses match ``Predictor.predict_array`` exactly (json/npz/png);
+  * concurrent requests are coalesced into fewer device batches
+    (micro-batching evidence via /stats);
+  * malformed input gets a 400, not a dead server.
+
+The reference has no serving path (infer.py:253-312 is a per-run
+script); this subsystem is a TPU-production extension.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from seghiero_tpu.config import SegHieroConfig
+from seghiero_tpu.infer.export import export_predictor
+from seghiero_tpu.infer.predictor import Predictor
+from seghiero_tpu.models.segmenter import build_model
+from seghiero_tpu.serve import MicroBatcher, ServingModel, make_server
+
+pytestmark = pytest.mark.fast
+
+HW = 32
+
+
+@pytest.fixture(scope="module")
+def served(classes_2level_mod, tmp_path_factory):
+    """(server base-url, predictor, ServingModel) over a tiny artifact."""
+    tmp_path = tmp_path_factory.mktemp("serve")
+    cfg = SegHieroConfig.from_dict(
+        {
+            "dataset": {"kind": "synthetic", "synthetic_size": 2},
+            "classes": classes_2level_mod,
+            "model": {
+                "depth": 18,
+                "dtype": "float32",
+                "aspp_channels": 16,
+                "c1_channels": 8,
+                "proj_dim": 8,
+            },
+            "training": {"epochs": 1, "batch_size": 2, "lr": 0.01},
+            "transform": {"resize": [HW, HW]},
+            "output": {"checkpoint_dir": str(tmp_path), "project_name": "x"},
+        }
+    )
+    import jax.numpy as jnp
+
+    model = build_model(cfg)
+    variables = model.init(jax.random.key(3), jnp.zeros((1, HW, HW, 3)), train=False)
+    pred = Predictor(cfg, variables)
+    art = str(tmp_path / "artifact")
+    export_predictor(pred, art, platforms=("cpu",))
+
+    sm = ServingModel(art)
+    server = make_server(sm, host="127.0.0.1", port=0, max_batch=4,
+                         batch_timeout_ms=30.0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield url, pred, sm
+    server.batcher.stop()
+    server.shutdown()
+    server.server_close()
+
+
+@pytest.fixture(scope="module")
+def classes_2level_mod():
+    return {
+        "coarse_to_fine_map": [[0, 3], [4, 6], [7], [8]],
+        "coarse_names": {0: "a", 1: "b", 2: "c", 3: "d"},
+        "fine_names": {i: f"f{i}" for i in range(9)},
+    }
+
+
+def _post(url, body, ctype, path="/predict"):
+    req = urllib.request.Request(url + path, data=body, method="POST")
+    req.add_header("Content-Type", ctype)
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, r.read(), r.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def _npy_bytes(arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def test_healthz_meta_stats(served):
+    url, _, sm = served
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(url + "/meta", timeout=30) as r:
+        meta = json.loads(r.read())
+    assert meta["input"]["shape"] == ["b", HW, HW, 3]
+    assert meta["levels"] == {"fine": 9, "coarse": 4}
+    with urllib.request.urlopen(url + "/stats", timeout=30) as r:
+        assert "batches" in json.loads(r.read())
+
+
+def test_predict_json_matches_predictor(served):
+    url, pred, _ = served
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (HW, HW, 3)).astype(np.uint8)
+    status, body, ctype = _post(url, _npy_bytes(img), "application/octet-stream")
+    assert status == 200 and ctype == "application/json"
+    got = {k: np.asarray(v) for k, v in json.loads(body).items()}
+    want = pred.predict_array(img[None])
+    for lvl in ("fine", "coarse"):
+        np.testing.assert_array_equal(got[lvl], want[lvl][0])
+
+
+def test_predict_png_input_and_output(served):
+    from PIL import Image
+
+    url, pred, _ = served
+    rng = np.random.default_rng(1)
+    # a larger PNG: the server must resize it to the artifact input
+    img = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    status, body, ctype = _post(
+        url + "/predict?format=png&level=coarse", buf.getvalue(),
+        "image/png", path=""
+    )
+    assert status == 200 and ctype == "image/png"
+    mask = np.asarray(Image.open(io.BytesIO(body)))
+    resized = np.asarray(
+        Image.fromarray(img).resize((HW, HW), Image.BILINEAR), np.uint8
+    )
+    want = pred.predict_array(resized[None])["coarse"][0]
+    np.testing.assert_array_equal(mask, want)
+
+
+def test_predict_npz_format(served):
+    url, pred, _ = served
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (HW, HW, 3)).astype(np.uint8)
+    status, body, ctype = _post(
+        url + "/predict?format=npz", _npy_bytes(img),
+        "application/octet-stream", path=""
+    )
+    assert status == 200 and ctype == "application/octet-stream"
+    with np.load(io.BytesIO(body)) as z:
+        want = pred.predict_array(img[None])
+        for lvl in ("fine", "coarse"):
+            np.testing.assert_array_equal(z[lvl], want[lvl][0])
+
+
+def test_concurrent_requests_are_microbatched(served):
+    url, pred, sm = served
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (8, HW, HW, 3)).astype(np.uint8)
+    want = pred.predict_array(imgs)
+
+    results = [None] * 8
+    b0 = json.loads(urllib.request.urlopen(url + "/stats", timeout=30).read())
+
+    def call(i):
+        status, body, _ = _post(url, _npy_bytes(imgs[i]), "application/octet-stream")
+        assert status == 200
+        results[i] = {k: np.asarray(v) for k, v in json.loads(body).items()}
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for i in range(8):
+        assert results[i] is not None
+        for lvl in ("fine", "coarse"):
+            np.testing.assert_array_equal(results[i][lvl], want[lvl][i])
+    b1 = json.loads(urllib.request.urlopen(url + "/stats", timeout=30).read())
+    n_batches = b1["batches"] - b0["batches"]
+    n_requests = b1["requests"] - b0["requests"]
+    assert n_requests == 8
+    # coalescing happened: strictly fewer device calls than requests
+    assert n_batches < 8, b1
+
+
+def test_bad_request_is_400_and_server_survives(served):
+    url, _, _ = served
+    status, body, _ = _post(url, b"not an image", "image/png")
+    assert status == 400
+    assert "error" in json.loads(body)
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        assert r.status == 200
+
+
+def test_bucket_padding_math():
+    from seghiero_tpu.serve.server import _next_bucket
+
+    assert [_next_bucket(n, 8) for n in (1, 2, 3, 4, 5, 8, 9)] == [
+        1, 2, 4, 4, 8, 8, 8
+    ]
