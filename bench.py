@@ -60,6 +60,7 @@ def build(
     backbone_variant: str = None,
     head: str = None,
     remat: bool = False,
+    depthwise_backend: str = "xla",
 ):
     import jax
     import jax.numpy as jnp
@@ -79,6 +80,7 @@ def build(
                 "depth": spec["depth"],
                 "dtype": dtype,
                 "remat": remat,
+                "depthwise_backend": depthwise_backend,
                 **({"backbone": backbone} if backbone else {}),
                 **(
                     {"backbone_options": {"variant": backbone_variant}}
@@ -254,6 +256,15 @@ def main():
         help="override model.head (sep_aspp_contrast|aspp|segformer_mlp)",
     )
     p.add_argument(
+        "--depthwise-backend",
+        type=str,
+        default="xla",
+        choices=("xla", "pallas"),
+        help="model.depthwise_backend — 'pallas' measured SLOWER "
+        "end-to-end on both training and serving configs (see "
+        "ops/pallas/depthwise.py); flag kept for re-measurement",
+    )
+    p.add_argument(
         "--remat",
         action="store_true",
         help="model.remat (backbone gradient checkpointing) for the "
@@ -318,6 +329,7 @@ def main():
             backbone_variant=args.backbone_variant,
             head=args.head,
             remat=args.remat,
+            depthwise_backend=args.depthwise_backend,
         )
         n_chips = trainer.mesh.devices.size
         if spec["mode"] == "train":

@@ -141,6 +141,13 @@ class ModelConfig:
     # forward per step. The standard HBM-for-FLOPs trade for large
     # inputs / deep backbones; exact same math (tested).
     remat: bool = False
+    # depthwise-conv lowering for the head's separable convs: "xla"
+    # (default — measured faster end-to-end in BOTH training and
+    # serving; XLA fuses the depthwise into its conv pipeline) or
+    # "pallas" (the VPU kernel, kept as the measured experiment
+    # switch — see ops/pallas/depthwise.py for the numbers).
+    # Non-3×3/strided/dilated cases always fall back to XLA.
+    depthwise_backend: str = "xla"
 
     @classmethod
     def from_dict(cls, d: dict) -> "ModelConfig":
@@ -166,6 +173,11 @@ class ModelConfig:
         stem = str(d.get("stem", "conv7"))
         if stem not in ("conv7", "s2d"):
             raise ValueError(f"model.stem must be conv7|s2d, got {stem}")
+        dw_backend = str(d.get("depthwise_backend", "xla"))
+        if dw_backend not in ("xla", "pallas"):
+            raise ValueError(
+                f"model.depthwise_backend must be xla|pallas, got {dw_backend}"
+            )
         return cls(
             pretrained_model=name,
             depth=depth,
@@ -185,6 +197,7 @@ class ModelConfig:
             proj_type=str(d.get("proj_type", "convmlp")),
             dtype=str(d.get("dtype", "bfloat16")),
             remat=bool(d.get("remat", False)),
+            depthwise_backend=dw_backend,
         )
 
 

@@ -72,9 +72,11 @@ class DepthwiseConv(nn.Module):
 
     ``use_pallas=True`` routes the 3×3/s1/dilation-1 case through the
     Pallas VPU kernel (ops/pallas/depthwise.py). DEFAULT OFF: measured
-    slower than XLA in the full program — the custom-call boundary
-    breaks the conv↔BN/ReLU fusions (see the kernel module docstring
-    for the numbers)."""
+    slower than XLA in the full program, in BOTH training and
+    forward-only serving (config 5: 27.2 → 37.8 ms/step) — the
+    custom-call boundary breaks XLA's conv-pipeline fusions.
+    ``model.depthwise_backend: pallas`` plumbs it here as the
+    experiment switch (see the kernel module docstring for numbers)."""
 
     kernel: int = 3
     dilation: int = 1
@@ -121,12 +123,14 @@ class DepthwiseSeparableConv(nn.Module):
     dilation: int = 1
     dtype: Any = jnp.float32
     bn_axis: Any = None
+    dw_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         c_in = x.shape[-1]
         y = DepthwiseConv(
-            self.kernel, self.dilation, dtype=self.dtype, name="depthwise"
+            self.kernel, self.dilation, dtype=self.dtype,
+            use_pallas=self.dw_pallas, name="depthwise"
         )(x)
         y = batch_norm(train, self.dtype, name="bn_dw", axis_name=self.bn_axis)(y)
         y = nn.relu(y)
@@ -145,6 +149,7 @@ class DepthwiseSeparableASPP(nn.Module):
     dilations: Sequence[int] = (1, 12, 24, 36)
     dtype: Any = jnp.float32
     bn_axis: Any = None
+    dw_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -164,7 +169,8 @@ class DepthwiseSeparableASPP(nn.Module):
             branches.append(
                 DepthwiseSeparableConv(
                     self.channels, 3, dilation=d, dtype=self.dtype,
-                    bn_axis=self.bn_axis, name=f"branch{i}"
+                    bn_axis=self.bn_axis, dw_pallas=self.dw_pallas,
+                    name=f"branch{i}"
                 )(x, train)
             )
         return jnp.concatenate(branches, axis=-1)
@@ -187,6 +193,7 @@ class SepASPPContrastHead(nn.Module):
     use_c1_skip: bool = True
     dtype: Any = jnp.float32
     bn_axis: Any = None
+    dw_pallas: bool = False
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool):
@@ -199,7 +206,7 @@ class SepASPPContrastHead(nn.Module):
 
         y = DepthwiseSeparableASPP(
             self.aspp_channels, self.dilations, dtype=self.dtype,
-            bn_axis=self.bn_axis, name="aspp"
+            bn_axis=self.bn_axis, dw_pallas=self.dw_pallas, name="aspp"
         )(c4, train)
         y = conv(self.aspp_channels, 1, dtype=self.dtype, name="bottleneck_conv")(y)
         y = batch_norm(train, self.dtype, name="bottleneck_bn", axis_name=self.bn_axis)(y)
@@ -214,11 +221,13 @@ class SepASPPContrastHead(nn.Module):
 
         y = DepthwiseSeparableConv(
             self.aspp_channels, 3, dtype=self.dtype,
-            bn_axis=self.bn_axis, name="sep_bottleneck0"
+            bn_axis=self.bn_axis, dw_pallas=self.dw_pallas,
+            name="sep_bottleneck0"
         )(y, train)
         y = DepthwiseSeparableConv(
             self.aspp_channels, 3, dtype=self.dtype,
-            bn_axis=self.bn_axis, name="sep_bottleneck1"
+            bn_axis=self.bn_axis, dw_pallas=self.dw_pallas,
+            name="sep_bottleneck1"
         )(y, train)
 
         logits = nn.Conv(

@@ -61,6 +61,9 @@ class HieroSegmenter(nn.Module):
     # activations in backward (jax.checkpoint via nn.remat) — only its
     # four output feature maps are stored. model.remat in the config.
     remat: bool = False
+    # model.depthwise_backend: "xla" | "pallas" for the head's
+    # depthwise-separable convs (see ops/pallas/depthwise.py)
+    dw_backend: str = "xla"
 
     def init_sample_hw(self) -> tuple:
         """Smallest input the assembled model can trace. Param shapes are
@@ -191,6 +194,7 @@ def _build_sep_aspp_contrast(seg: "HieroSegmenter") -> nn.Module:
         proj_type=seg.proj_type,
         dtype=seg.dtype,
         bn_axis=seg.bn_axis,
+        dw_pallas=seg.dw_backend == "pallas",
         name="head",
     )
 
@@ -277,4 +281,5 @@ def build_model(
         backbone_options=m.backbone_options,
         head_options=m.head_options,
         remat=m.remat,
+        dw_backend=m.depthwise_backend,
     )

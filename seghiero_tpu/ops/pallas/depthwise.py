@@ -60,6 +60,20 @@ roofline). Kept as a correct, tested kernel (opt-in via
 ``DepthwiseConv(use_pallas=True)``) and as the recorded experiment —
 the same verdict as ops/pallas/hiera2_fused.py.
 
+Round 2 (inference follow-up): the row tile is now W-adaptive
+(``_row_tile`` — TH=32 was a 29.8 MB scoped-VMEM OOM at the
+1024²-serving sep-bottleneck shape [4, 256, 256, 560]; W=256 → TH=16,
+W=512 → TH=8, W>512 rejected by the availability gate), so an opt-in at
+serving widths now compiles instead of crashing. But the INFERENCE
+verdict matches the training one: isolated, the kernel beats the
+isolated grouped conv at [4,256,256,560] (4.2 vs 7.2 ms/op) — yet
+end-to-end on BASELINE config 5 the step REGRESSES 27.2 → 37.8 ms,
+because in-program XLA fuses the depthwise into its conv pipeline
+(profiled at only ~3.8 ms total for all head depthwise ops) and the
+custom call forfeits that. ``model.depthwise_backend: pallas`` is the
+measured experiment switch; the default ``xla`` is faster everywhere
+measured.
+
 Equivalence with the XLA grouped conv is asserted in
 tests/test_depthwise_pallas.py (values and both gradients).
 """
@@ -74,13 +88,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TH = 32  # row-tile = main-block unit (round 1 used 8: 3× DMA read
-# amplification from full-tile top/bottom halos and 4× the grid
-# invocations; round 2 uses 8-row halo blocks — (TH+16)/TH = 1.5× reads)
 HB = 8  # halo block height (minimum sublane-aligned DMA)
 CB = 128  # channel block (one lane group) — bounds VMEM: f32 compute
 # intermediates at full C=560 blew the 16 MB scoped-vmem budget (22 MB);
 # depthwise is channel-separable, so the grid also walks 128-lane chunks
+
+
+def _row_tile(W: int) -> int:
+    """Main-block row height, multiple of HB. The f32 compute
+    intermediates (band/acc/shifted) scale with TH·W·CB, so wider
+    feature maps need shorter row tiles to stay under the ~16 MB
+    scoped-VMEM budget: TH=32 at W=128 (the headline train shape;
+    round 1 used 8, which cost 3× halo-DMA read amplification and 4×
+    the grid invocations), TH=16 at W=256 (the 1024²-inference
+    sep-bottleneck shape — TH=32 there was measured OOM at 29.8 MB),
+    TH=8 at W=512. Halo reads stay at (TH+2·HB)/TH."""
+    if W <= 128:
+        return 32
+    if W <= 256:
+        return 16
+    return HB
 
 
 def depthwise3x3_available(
@@ -88,7 +115,7 @@ def depthwise3x3_available(
 ) -> bool:
     if tuple(kernel_shape[:2]) != (3, 3) or tuple(stride) != (1, 1):
         return False
-    if tuple(dilation) != (1, 1) or W % 8 != 0 or W < 16:
+    if tuple(dilation) != (1, 1) or W % 8 != 0 or W < 16 or W > 512:
         return False
     try:
         if jax.default_backend() == "cpu":
@@ -99,10 +126,12 @@ def depthwise3x3_available(
 
 
 def _taps(band, W):
-    """Yield (dy, dx, shifted [TH, W, C] f32, per-tap column mask)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (TH, W, 1), 1)
+    """Yield (dy, dx, shifted [TH, W, C] f32, per-tap column mask).
+    TH is inferred from the band ([TH+2, W, C])."""
+    th = band.shape[0] - 2
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, W, 1), 1)
     for dy in range(3):
-        rows = band[dy : dy + TH]  # [TH, W, C]
+        rows = band[dy : dy + th]  # [TH, W, C]
         for dx in range(3):
             ox = dx - 1
             if ox == 0:
@@ -144,14 +173,14 @@ def _wgrad_kernel(top, main, bot, g_ref, dk_ref, *, W):
         dk_ref[dy * 3 + dx] = dk_ref[dy * 3 + dx] + jnp.sum(prod, axis=(0, 1))
 
 
-def _pad_rows(x):
+def _pad_rows(x, th):
     """TH rows of zeros on top (one full main block, so main tile t sits
     at block index t+1) and HB at the bottom (the last tile's bottom
     halo block must exist)."""
-    return jnp.pad(x, ((0, 0), (TH, HB), (0, 0), (0, 0)))
+    return jnp.pad(x, ((0, 0), (th, HB), (0, 0), (0, 0)))
 
 
-def _specs(W):
+def _specs(W, th):
     """(top-halo, main, bottom-halo) views of the row-padded input.
 
     Main is a (1, TH, W, CB) block at row-block index t+1 (x tile t =
@@ -165,29 +194,30 @@ def _specs(W):
     sweep (Pallas only guarantees output-block accumulation across
     consecutive grid steps)."""
     main = pl.BlockSpec(
-        (1, TH, W, CB), lambda c, b, t: (b, t + 1, 0, c),
+        (1, th, W, CB), lambda c, b, t: (b, t + 1, 0, c),
         memory_space=pltpu.VMEM,
     )
     top = pl.BlockSpec(
         (1, HB, W, CB),
-        lambda c, b, t: (b, (t + 1) * (TH // HB) - 1, 0, c),
+        lambda c, b, t: (b, (t + 1) * (th // HB) - 1, 0, c),
         memory_space=pltpu.VMEM,
     )
     bot = pl.BlockSpec(
         (1, HB, W, CB),
-        lambda c, b, t: (b, (t + 2) * (TH // HB), 0, c),
+        lambda c, b, t: (b, (t + 2) * (th // HB), 0, c),
         memory_space=pltpu.VMEM,
     )
     return top, main, bot
 
 
 def _dw_raw(x, k9, interpret):
-    """x [B, H, W, C] (H % 8 == 0 enforced by caller), k9 [9, C]."""
+    """x [B, H, W, C] (H % _row_tile(W) == 0 enforced by caller), k9 [9, C]."""
     B, H, W, C = x.shape
-    n_t = H // TH
+    th = _row_tile(W)
+    n_t = H // th
     n_c = -(-C // CB)
-    xp = _pad_rows(x)
-    top, main, bot = _specs(W)
+    xp = _pad_rows(x, th)
+    top, main, bot = _specs(W, th)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, W=W),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
@@ -199,7 +229,7 @@ def _dw_raw(x, k9, interpret):
             pl.BlockSpec((9, CB), lambda c, b, t: (0, c), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, TH, W, CB), lambda c, b, t: (b, t, 0, c), memory_space=pltpu.VMEM
+            (1, th, W, CB), lambda c, b, t: (b, t, 0, c), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(xp, xp, xp, k9)
@@ -207,10 +237,11 @@ def _dw_raw(x, k9, interpret):
 
 def _dw_wgrad(x, g, interpret):
     B, H, W, C = x.shape
-    n_t = H // TH
+    th = _row_tile(W)
+    n_t = H // th
     n_c = -(-C // CB)
-    xp = _pad_rows(x)
-    top, main, bot = _specs(W)
+    xp = _pad_rows(x, th)
+    top, main, bot = _specs(W, th)
     return pl.pallas_call(
         functools.partial(_wgrad_kernel, W=W),
         out_shape=jax.ShapeDtypeStruct((9, C), jnp.float32),
@@ -220,7 +251,7 @@ def _dw_wgrad(x, g, interpret):
             main,
             bot,
             pl.BlockSpec(
-                (1, TH, W, CB), lambda c, b, t: (b, t, 0, c),
+                (1, th, W, CB), lambda c, b, t: (b, t, 0, c),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -234,15 +265,16 @@ def _dw_wgrad(x, g, interpret):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def depthwise3x3(x, k9, interpret=False):
     """Depthwise 3×3/s1 'same' conv; x [B, H, W, C], k9 [9, C] (taps in
-    row-major (dy, dx) order). H is padded to a multiple of TH (=32, the
-    row-tile height) internally — up to TH−1 wasted rows on odd sizes."""
+    row-major (dy, dx) order). H is padded to a multiple of the W-dependent
+    row-tile height internally — up to tile−1 wasted rows on odd sizes."""
     out, _ = _dw_fwd(x, k9, interpret)
     return out
 
 
 def _run_padded(fn, x, *args):
     B, H, W, C = x.shape
-    Hp = ((H + TH - 1) // TH) * TH
+    th = _row_tile(W)
+    Hp = ((H + th - 1) // th) * th
     if Hp != H:
         x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
     out = fn(x, *args)
@@ -260,7 +292,8 @@ def _dw_bwd(interpret, res, g):
     k_flip = k9[::-1]  # reversing (dy*3+dx) row-major order flips both axes
     dx = _run_padded(lambda gg: _dw_raw(gg, k_flip, interpret), g)
     B, H, W, C = x.shape
-    Hp = ((H + TH - 1) // TH) * TH
+    th = _row_tile(W)
+    Hp = ((H + th - 1) // th) * th
     if Hp != H:
         pad = ((0, 0), (0, Hp - H), (0, 0), (0, 0))
         dk = _dw_wgrad(jnp.pad(x, pad), jnp.pad(g, pad), interpret)
