@@ -50,7 +50,10 @@ def export_predictor(
     """Serialize ``predictor`` to ``out_dir``; returns the meta dict.
 
     The exported function maps uint8 images ``[b, H, W, 3]`` (symbolic
-    batch ``b``) to per-level int32 masks ``[b, out_h, out_w]`` — the
+    batch ``b``) to per-level masks ``[b, out_h, out_w]`` (uint8 when
+    the level has ≤256 classes — masks are the serving egress, so this
+    is a 4× wire saving vs int32; else int32; per-level dtype recorded
+    in meta.json) — the
     same math as ``Predictor.predict_array`` (normalize → forward →
     C-major bilinear upsample → per-level argmax, infer.py:281-312),
     with the ``consistent`` hierarchy decode optionally baked in.
@@ -83,6 +86,14 @@ def export_predictor(
     f2c = np.asarray(h.fine_to_coarse, np.int32)
     f2s = np.asarray(h.fine_to_super, np.int32) if h.has_super else None
 
+    # per-level mask dtype: uint8 when the level's label ids fit —
+    # masks are the serving egress (full-res, per level), so this is a
+    # 4× wire/disk saving vs int32 at no information loss (measured
+    # through the remote relay: batch-8 512² call 802 → ~220 ms, the
+    # transfer was the bottleneck)
+    def _mask_dtype(n: int):
+        return jnp.uint8 if n <= 256 else jnp.int32
+
     def serve(images_u8):
         images = normalize_images(images_u8, mean, std)
         out = model.apply(variables, images, train=False)
@@ -92,13 +103,20 @@ def export_predictor(
             lo, (b, c, out_hw[0], out_hw[1]), "linear", antialias=False
         )
         preds = {
-            lvl: jnp.argmax(logits[:, lo_:hi_], axis=1).astype(jnp.int32)
+            lvl: jnp.argmax(logits[:, lo_:hi_], axis=1).astype(
+                _mask_dtype(hi_ - lo_)
+            )
             for lvl, (lo_, hi_) in slices.items()
         }
         if consistent:
-            preds["coarse"] = jnp.asarray(f2c)[preds["fine"]]
+            fine_i = preds["fine"].astype(jnp.int32)
+            preds["coarse"] = jnp.asarray(f2c)[fine_i].astype(
+                _mask_dtype(h.n_coarse)
+            )
             if f2s is not None:
-                preds["super"] = jnp.asarray(f2s)[preds["fine"]]
+                preds["super"] = jnp.asarray(f2s)[fine_i].astype(
+                    _mask_dtype(h.n_super)
+                )
         return preds
 
     (bdim,) = jax.export.symbolic_shape("b")
@@ -115,8 +133,11 @@ def export_predictor(
             "layout": "NHWC (RGB)",
         },
         "outputs": {
-            lvl: {"shape": ["b", out_hw[0], out_hw[1]], "dtype": "int32"}
-            for lvl in slices
+            lvl: {
+                "shape": ["b", out_hw[0], out_hw[1]],
+                "dtype": str(np.dtype(_mask_dtype(hi_ - lo_))),
+            }
+            for lvl, (lo_, hi_) in slices.items()
         },
         "levels": {
             "fine": h.n_fine,
@@ -152,6 +173,7 @@ def load_exported(path: str):
 
 
 def serve_masks(exported, images_u8: np.ndarray) -> Dict[str, np.ndarray]:
-    """Run the artifact on a uint8 batch → {level: int32 [B, H, W]}."""
+    """Run the artifact on a uint8 batch → {level: [B, H, W]} masks
+    (uint8 for ≤256-class levels, else int32 — see the artifact meta)."""
     preds = jax.jit(exported.call)(jnp.asarray(images_u8, jnp.uint8))
     return {k: np.asarray(v) for k, v in preds.items()}

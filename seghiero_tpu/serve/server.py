@@ -208,7 +208,7 @@ def _encode_response(preds: Dict[str, np.ndarray], fmt: str, level: str):
     """→ (bytes, content_type)."""
     if fmt == "npz":
         buf = io.BytesIO()
-        np.savez(buf, **{k: v.astype(np.int32) for k, v in preds.items()})
+        np.savez(buf, **preds)  # native per-level dtype (see export meta)
         return buf.getvalue(), "application/octet-stream"
     if fmt == "png":
         from PIL import Image

@@ -73,6 +73,8 @@ def test_export_roundtrip_matches_predictor(rng, classes_2level, tmp_path):
         assert set(got) == {"fine", "coarse"}
         for lvl in got:
             assert got[lvl].shape == (batch, HW, HW)
+            # ≤256-class levels ship as uint8 (4× smaller serving egress)
+            assert got[lvl].dtype == np.uint8
             np.testing.assert_array_equal(got[lvl], want[lvl])
 
 
