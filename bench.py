@@ -61,6 +61,7 @@ def build(
     head: str = None,
     remat: bool = False,
     depthwise_backend: str = "xla",
+    batch_override: int = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -70,7 +71,7 @@ def build(
 
     spec = BENCH_CONFIGS[cfg_id]
     n_dev = len(jax.devices()) if spec.get("all_devices") else 1
-    batch = spec["batch"] * n_dev
+    batch = (batch_override or spec["batch"]) * n_dev
     classes = CLASSES_3L if spec["levels"] == 3 else CLASSES_2L
     cfg = SegHieroConfig.from_dict(
         {
@@ -256,6 +257,13 @@ def main():
         help="override model.head (sep_aspp_contrast|aspp|segformer_mlp)",
     )
     p.add_argument(
+        "--batch",
+        type=int,
+        default=None,
+        help="override the config's per-chip batch size (exploratory "
+        "scaling runs; the BASELINE configs pin their own)",
+    )
+    p.add_argument(
         "--depthwise-backend",
         type=str,
         default="xla",
@@ -330,6 +338,7 @@ def main():
             head=args.head,
             remat=args.remat,
             depthwise_backend=args.depthwise_backend,
+            batch_override=args.batch,
         )
         n_chips = trainer.mesh.devices.size
         if spec["mode"] == "train":
