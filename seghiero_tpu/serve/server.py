@@ -91,7 +91,9 @@ class ServingModel:
 
     def predict(self, images_u8: np.ndarray, max_batch: int) -> Dict[str, np.ndarray]:
         n = images_u8.shape[0]
-        bucket = _next_bucket(n, max_batch)
+        # direct API callers may exceed max_batch (the MicroBatcher never
+        # does): run at the given size rather than under-padding
+        bucket = _next_bucket(n, max_batch) if n <= max_batch else n
         if bucket > n:
             pad = np.repeat(images_u8[-1:], bucket - n, axis=0)
             images_u8 = np.concatenate([images_u8, pad], axis=0)

@@ -204,3 +204,16 @@ def test_bucket_padding_math():
     assert [_next_bucket(n, 8) for n in (1, 2, 3, 4, 5, 8, 9)] == [
         1, 2, 4, 4, 8, 8, 8
     ]
+
+
+def test_serving_model_batch_beyond_max(served):
+    """Direct ServingModel.predict with n > max_batch runs at n instead
+    of under-padding (the daemon's MicroBatcher never exceeds max_batch,
+    but API callers can)."""
+    url, pred, sm = served
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 256, (5, HW, HW, 3)).astype(np.uint8)
+    out = sm.predict(imgs, max_batch=4)
+    want = pred.predict_array(imgs)
+    for lvl in ("fine", "coarse"):
+        np.testing.assert_array_equal(out[lvl], want[lvl])
