@@ -227,6 +227,12 @@ class TrainingConfig:
     # init — see tests/test_superstep.py — and clipping is the standard
     # guard). None/0 = off (reference parity: no clipping).
     grad_clip_norm: Optional[float] = None
+    # restrict weight decay to kernel weights (extension; the standard
+    # transformer recipe): norm scales/biases, LayerScale gammas, and
+    # position/CLS tokens stop decaying toward zero. false = reference
+    # parity (torch SGD decays EVERY parameter, train.py:239-246).
+    # Recommended true for the vit/swin/mit/convnext backbones.
+    wd_skip_norm_bias: bool = False
     # fine-tuning: multiply the backbone's learning rate (extension).
     # 1.0 = reference parity (one joint rate, train.py:239-246);
     # 0 = freeze the backbone (no update / wd / momentum advance);

@@ -4,6 +4,7 @@ from seghiero_tpu.models.hrnet import HRNetBackbone
 from seghiero_tpu.models.unet import UNetBackbone
 from seghiero_tpu.models.mit import MiTBackbone
 from seghiero_tpu.models.swin import SwinBackbone
+from seghiero_tpu.models.vit import ViTBackbone
 from seghiero_tpu.models.heads import (
     ProjectionHead,
     DepthwiseSeparableConv,
@@ -30,6 +31,7 @@ __all__ = [
     "UNetBackbone",
     "MiTBackbone",
     "SwinBackbone",
+    "ViTBackbone",
     "ProjectionHead",
     "DepthwiseSeparableConv",
     "DepthwiseSeparableASPP",

@@ -168,6 +168,25 @@ def _build_mit(seg: "HieroSegmenter") -> nn.Module:
     )
 
 
+@register_backbone("vit")
+def _build_vit(seg: "HieroSegmenter") -> nn.Module:
+    from seghiero_tpu.models.vit import ViTBackbone
+
+    opts = dict(seg.backbone_options or {})
+    return ViTBackbone(
+        variant=str(opts.get("variant", "base")),
+        patch=int(opts.get("patch", 16)),
+        pos_grid=int(opts.get("pos_grid", 0)),
+        drop_path_rate=float(opts.get("drop_path_rate", 0.0)),
+        layer_scale_init=float(opts.get("layer_scale_init", 0.0)),
+        n_register=int(opts.get("n_register", 0)),
+        norm_eps=float(opts.get("norm_eps", 1e-6)),
+        output_stride=seg.output_stride,
+        dtype=seg.dtype,
+        name="backbone",
+    )
+
+
 @register_backbone("swin")
 def _build_swin(seg: "HieroSegmenter") -> nn.Module:
     from seghiero_tpu.models.swin import SwinBackbone

@@ -579,6 +579,130 @@ def import_swin_backbone(sd: Dict, variant: str) -> Dict:
     return params
 
 
+def import_vit_backbone(sd: Dict, variant: str) -> Dict:
+    """Plain ViT state_dict → encoder params for
+    :class:`~seghiero_tpu.models.vit.ViTBackbone` (LayerNorm-only: no
+    batch_stats). Returns ONLY encoder weights — the ViTDet pyramid
+    (``fpn*``) does not exist in ViT checkpoints, so the caller merges
+    the result over the freshly-initialized tree. Accepts THREE
+    published layouts:
+
+      * timm ``vision_transformer.py`` (also DeiT / MAE encoders):
+        ``patch_embed.proj``, ``cls_token``, ``pos_embed``,
+        ``blocks.{i}.{norm1,norm2}``, ``.attn.{qkv,proj}`` (fused qkv),
+        ``.mlp.{fc1,fc2}``, optional ``.ls{1,2}.gamma``, final ``norm``;
+        classifier ``head.*`` ignored.
+      * HuggingFace ``ViTModel``: ``[vit.]embeddings.{cls_token,
+        position_embeddings,patch_embeddings.projection}``,
+        ``encoder.layer.{i}.attention.attention.{query,key,value}`` +
+        ``attention.output.dense``, ``intermediate.dense`` /
+        ``output.dense``, ``layernorm_{before,after}``, final
+        ``layernorm``.
+      * HuggingFace ``Dinov2Model``: as ViTModel plus
+        ``layer_scale{1,2}.lambda1`` (→ ``ls{1,2}_gamma``),
+        ``mlp.fc{1,2}``, and optional ``embeddings.register_tokens``.
+    """
+    from seghiero_tpu.models.vit import VARIANTS
+
+    if variant not in VARIANTS:
+        raise ValueError(f"unknown vit variant {variant!r}")
+    dim, depth, _ = VARIANTS[variant]
+
+    hf = any("embeddings.patch_embeddings" in k for k in sd)
+    if hf:
+        # normalize both HF layouts (ViTModel / Dinov2Model) to timm's
+        out = {}
+        for k, v in sd.items():
+            for pref in ("vit.", "dinov2."):
+                if k.startswith(pref):
+                    k = k[len(pref):]
+            if k.startswith("embeddings."):
+                k = (
+                    k.replace("embeddings.patch_embeddings.projection",
+                              "patch_embed.proj")
+                    .replace("embeddings.position_embeddings", "pos_embed")
+                    .replace("embeddings.cls_token", "cls_token")
+                    .replace("embeddings.register_tokens", "reg_tokens")
+                )
+            elif k.startswith("encoder.layer."):
+                k = k.replace("encoder.layer.", "blocks.", 1)
+                k = (
+                    k.replace(".attention.attention.query", ".attn.q")
+                    .replace(".attention.attention.key", ".attn.k")
+                    .replace(".attention.attention.value", ".attn.v")
+                    .replace(".attention.output.dense", ".attn.proj")
+                    .replace(".intermediate.dense", ".mlp.fc1")
+                    .replace(".output.dense", ".mlp.fc2")
+                    .replace(".layernorm_before", ".norm1")
+                    .replace(".layernorm_after", ".norm2")
+                    .replace(".layer_scale1.lambda1", ".ls1.gamma")
+                    .replace(".layer_scale2.lambda1", ".ls2.gamma")
+                )
+            elif k == "layernorm.weight":
+                k = "norm.weight"
+            elif k == "layernorm.bias":
+                k = "norm.bias"
+            else:
+                continue  # pooler / classifier heads
+            out[k] = v
+        sd = out
+    elif "patch_embed.proj.weight" not in sd:
+        raise ValueError(
+            "unrecognized ViT state_dict layout: expected timm "
+            "'patch_embed.proj.weight' or HF "
+            "'...embeddings.patch_embeddings...' keys; "
+            f"got e.g. {sorted(sd)[:3]}"
+        )
+
+    params: Dict = {
+        "patch_embed": _conv_b(sd, "patch_embed.proj"),
+        "cls_token": _np(sd["cls_token"]),
+        "pos_embed": _np(sd["pos_embed"]),
+        "norm": _ln(sd, "norm"),
+    }
+    if params["pos_embed"].shape[-1] != dim:
+        raise ValueError(
+            f"state_dict embed dim {params['pos_embed'].shape[-1]} does "
+            f"not match vit variant {variant!r} (dim {dim})"
+        )
+    if "reg_tokens" in sd:
+        params["reg_tokens"] = _np(sd["reg_tokens"])
+    for i in range(depth):
+        src = f"blocks.{i}"
+        if f"{src}.norm1.weight" not in sd:
+            raise ValueError(
+                f"state_dict is missing block {i} ({src}.norm1.weight) — "
+                f"wrong variant {variant!r}?"
+            )
+        if f"{src}.attn.qkv.weight" in sd:  # timm fused qkv
+            attn = {
+                "qkv": _dense(sd, f"{src}.attn.qkv"),
+                "proj": _dense(sd, f"{src}.attn.proj"),
+            }
+        else:  # HF split q/k/v → fuse along the output axis (q,k,v)
+            w = np.concatenate(
+                [_np(sd[f"{src}.attn.{n}.weight"]).T for n in ("q", "k", "v")],
+                axis=1,
+            )
+            attn = {"qkv": {"kernel": w}, "proj": _dense(sd, f"{src}.attn.proj")}
+            if f"{src}.attn.q.bias" in sd:
+                attn["qkv"]["bias"] = np.concatenate(
+                    [_np(sd[f"{src}.attn.{n}.bias"]) for n in ("q", "k", "v")]
+                )
+        blk: Dict = {
+            "norm1": _ln(sd, f"{src}.norm1"),
+            "norm2": _ln(sd, f"{src}.norm2"),
+            "attn": attn,
+            "mlp_fc1": _dense(sd, f"{src}.mlp.fc1"),
+            "mlp_fc2": _dense(sd, f"{src}.mlp.fc2"),
+        }
+        if f"{src}.ls1.gamma" in sd:
+            blk["ls1_gamma"] = _np(sd[f"{src}.ls1.gamma"]).reshape(dim)
+            blk["ls2_gamma"] = _np(sd[f"{src}.ls2.gamma"]).reshape(dim)
+        params[f"block{i}"] = blk
+    return params
+
+
 def _convert_sepconv(sd: Dict, src: str) -> Tuple[Dict, Dict]:
     """Reference DepthwiseSeparableConv (sep_aspp_contrast_head.py:33-62)
     → our module subtree."""

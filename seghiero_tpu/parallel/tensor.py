@@ -38,7 +38,12 @@ from seghiero_tpu.parallel.mesh import MODEL_AXIS
 
 # (path suffix, index of the dimension sharded over `model`)
 TP_RULES = (
-    # attention: q/k/v column-parallel (heads split across devices)
+    # attention: q/k/v column-parallel (heads split across devices);
+    # plain ViT's fused qkv projection shards the same way (its output
+    # axis is the q,k,v concat — the split/reshape-to-heads downstream
+    # propagates the sharding)
+    ("attn/qkv/kernel", 1),
+    ("attn/qkv/bias", 0),
     ("attn/q/kernel", 1),
     ("attn/k/kernel", 1),
     ("attn/v/kernel", 1),

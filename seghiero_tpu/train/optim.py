@@ -48,16 +48,34 @@ def make_schedule(cfg: TrainingConfig, total_steps: int):
     return main
 
 
+def _wd_mask(params):
+    """True for leaves that should receive weight decay under
+    ``training.wd_skip_norm_bias``: conv/dense kernels only. Everything
+    flax names something else — BN/LN ``scale``/``bias``, LayerScale
+    gammas, ``pos_embed``/``cls_token``/``reg_tokens`` — is skipped,
+    matching the standard transformer recipe (timm's no-decay list)."""
+    import jax
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: any(
+            getattr(k, "key", None) == "kernel" for k in path
+        ),
+        params,
+    )
+
+
 def _base_tx(cfg: TrainingConfig, lr) -> optax.GradientTransformation:
+    mask = _wd_mask if cfg.wd_skip_norm_bias else None
     if cfg.optimizer == "adamw":
         return optax.adamw(
             lr,
             b1=cfg.adam_beta1,
             b2=cfg.adam_beta2,
             weight_decay=cfg.weight_decay,
+            mask=mask,
         )
     return optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay),
+        optax.add_decayed_weights(cfg.weight_decay, mask=mask),
         optax.trace(decay=cfg.momentum, nesterov=False),
         optax.scale_by_learning_rate(lr),
     )

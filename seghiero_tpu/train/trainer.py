@@ -658,13 +658,25 @@ class Trainer:
                 )
                 bp = import_swin_backbone(sd, variant)
                 bs = None
+            elif family == "vit":
+                from seghiero_tpu.models.torch_convert import (
+                    import_vit_backbone,
+                )
+
+                variant = (self.cfg.model.backbone_options or {}).get(
+                    "variant", "base"
+                )
+                # encoder weights only — the ViTDet pyramid (fpn*) is
+                # not in ViT checkpoints and keeps its fresh init
+                bp = {**params["backbone"], **import_vit_backbone(sd, variant)}
+                bs = None
             elif family == "resnet":
                 bp, bs = import_torchvision_backbone(sd, self.cfg.model.depth)
             else:
                 raise ValueError(
                     f"model.pretrained weight conversion is implemented for "
                     f"the built-in families (resnet, convnext, hrnet, mit, "
-                    f"swin), not {family!r}; load custom-backbone weights "
+                    f"swin, vit), not {family!r}; load custom-backbone weights "
                     "through your own registry builder or a checkpoint "
                     "--resume instead."
                 )

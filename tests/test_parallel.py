@@ -112,29 +112,34 @@ def test_ddp_matches_pjit_on_one_device(classes_2level, tmp_path):
 
 
 def test_attention_families_train_on_multi_device_mesh(classes_2level, tmp_path):
-    """MiT and Swin under pjit on the virtual 8-device mesh: GSPMD must
-    partition the attention (global for MiT, windowed+rolled for Swin)
-    without shape or collective errors, and one step must run."""
+    """MiT, Swin, and plain ViT under pjit on the virtual 8-device mesh:
+    GSPMD must partition the attention (global for MiT/ViT,
+    windowed+rolled for Swin) without shape or collective errors, and
+    one step must run."""
     import dataclasses
 
     from tests.test_train_e2e import tiny_config
     from seghiero_tpu.models.mit import VARIANTS as MIT_V
     from seghiero_tpu.models.swin import VARIANTS as SWIN_V
+    from seghiero_tpu.models.vit import VARIANTS as VIT_V
     from seghiero_tpu.train.trainer import Trainer
 
     MIT_V["tiny_test"] = ((1, 1, 1, 1), (8, 8, 10, 16))
     SWIN_V["tiny_test"] = (8, (1, 1, 1, 1), (1, 2, 4, 8))
+    VIT_V["tiny_test"] = (16, 1, 2)
     try:
-        for backbone, opts in (
-            ("mit", {"variant": "tiny_test"}),
-            ("swin", {"variant": "tiny_test", "window": 2}),
+        for backbone, opts, size in (
+            ("mit", {"variant": "tiny_test"}, 8),
+            ("swin", {"variant": "tiny_test", "window": 2}, 8),
+            # vit needs H/W divisible by the patch; 16² → one token
+            ("vit", {"variant": "tiny_test", "pos_grid": 2}, 16),
         ):
             cfg = tiny_config(
                 classes_2level,
                 tmp_path,
                 epochs=1,
                 batch=8,
-                size=8,
+                size=size,
                 mesh={"data": 8},
             )
             cfg = dataclasses.replace(

@@ -408,6 +408,52 @@ def test_update_rule_matches_torch_exactly(opt):
         )
 
 
+@pytest.mark.parametrize("opt", ["sgd", "adamw"])
+def test_wd_skip_norm_bias_masks_non_kernels(opt):
+    """``training.wd_skip_norm_bias`` restricts decay to `kernel` leaves:
+    with zero gradients, one step shrinks kernels by exactly lr·wd (SGD)
+    while norm scales/biases and token tables stay bit-identical."""
+    from seghiero_tpu.config import TrainingConfig
+
+    params = {
+        "backbone": {
+            "conv": {"kernel": jnp.ones((3, 3, 2, 4)), "bias": jnp.ones((4,))},
+            "bn": {"scale": jnp.ones((4,)), "bias": jnp.ones((4,))},
+            "pos_embed": jnp.ones((1, 5, 4)),
+            "block0": {"ls1_gamma": jnp.ones((4,))},
+        }
+    }
+    tx = make_optimizer(
+        TrainingConfig(
+            lr=0.5,
+            momentum=0.0,
+            weight_decay=0.1,
+            optimizer=opt,
+            wd_skip_norm_bias=True,
+        )
+    )
+    state = tx.init(params)
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(zero, state, params)
+    new = optax.apply_updates(params, updates)
+    bb = new["backbone"]
+    # kernel decayed...
+    assert float(jnp.max(jnp.abs(bb["conv"]["kernel"] - 1.0))) > 1e-4
+    # ...everything else untouched (zero grad + masked wd = no update)
+    for leaf in (
+        bb["conv"]["bias"],
+        bb["bn"]["scale"],
+        bb["bn"]["bias"],
+        bb["pos_embed"],
+        bb["block0"]["ls1_gamma"],
+    ):
+        np.testing.assert_array_equal(np.asarray(leaf), np.ones_like(leaf))
+    if opt == "sgd":
+        np.testing.assert_allclose(
+            np.asarray(bb["conv"]["kernel"]), 1.0 - 0.5 * 0.1, rtol=1e-6
+        )
+
+
 @pytest.mark.parametrize("fast", [True, False], ids=["fast-losses", "nhwc-parity"])
 def test_sgd_trajectory_matches_reference_2level(rng, classes_2level, fast):
     cfg = _cfg(classes_2level, fast_losses=fast)

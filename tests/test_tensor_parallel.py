@@ -36,6 +36,11 @@ def test_tp_spec_rules():
     assert tp_spec("backbone/b/mlp/dwconv/kernel", (3, 3, 1, 128), m) == P(
         None, None, None, MODEL_AXIS
     )
+    # plain ViT's fused qkv: column-parallel like split q/k/v
+    assert tp_spec("backbone/block0/attn/qkv/kernel", (32, 96), m) == P(
+        None, MODEL_AXIS
+    )
+    assert tp_spec("backbone/block0/attn/qkv/bias", (96,), m) == P(MODEL_AXIS)
     # non-divisible dim → no TP sharding
     assert tp_spec("backbone/b/attn/q/kernel", (30, 30), m) is None
     # unmatched paths → None (base sharding wins)
@@ -142,6 +147,43 @@ def test_tp_train_step_mit(eight_devices):
         if MODEL_AXIS in str(leaf.sharding.spec)
     ]
     assert len(post) == len(sharded)
+
+
+def test_tp_train_step_vit(eight_devices):
+    """Plain ViT under TP: the fused-qkv column-parallel rule engages,
+    and a train step runs with params staying TP-sharded."""
+    import dataclasses
+
+    from seghiero_tpu.models.vit import VARIANTS as VIT_V
+    from seghiero_tpu.train.trainer import Trainer
+
+    VIT_V["tp_test"] = (16, 1, 4)
+    try:
+        cfg = _cfg(tensor_shards=4)
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                backbone="vit",
+                backbone_options={"variant": "tp_test", "patch": 16,
+                                  "pos_grid": 2},
+                head="segformer_mlp",
+            ),
+        )
+        tr = Trainer(cfg, verbose=False)
+        qkv_sharded = [
+            path
+            for path, leaf in jax.tree_util.tree_leaves_with_path(
+                tr.state.params
+            )
+            if "qkv" in str(path) and MODEL_AXIS in str(leaf.sharding.spec)
+        ]
+        assert qkv_sharded, "fused qkv kernel/bias should be TP-sharded"
+        b = next(iter(tr.train_loader))
+        s, m = tr._train_step(tr.state, b, jnp.asarray(0))
+        assert np.isfinite(float(m["loss"]))
+    finally:
+        del VIT_V["tp_test"]
 
 
 def test_tp_config_validation():
