@@ -24,22 +24,15 @@ Rebuilds train.py of the reference (C16) TPU-first:
 from __future__ import annotations
 
 import dataclasses
-import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from flax import struct
 
 from seghiero_tpu.config import SegHieroConfig
-from seghiero_tpu.data.pipeline import BatchLoader, normalize_images
+from seghiero_tpu.data.pipeline import BatchLoader
 from seghiero_tpu.data.dataset import build_dataset
-from seghiero_tpu.hierarchy import Hierarchy
-from seghiero_tpu.losses import HieraTripletLoss, RMIHieraTripletLoss
-from seghiero_tpu.losses.cross_entropy import softmax_cross_entropy
-from seghiero_tpu.models.segmenter import HieroSegmenter, build_model
-from seghiero_tpu.ops.resize import half_size, resize_bilinear
+from seghiero_tpu.models.segmenter import build_model
 from seghiero_tpu.parallel.mesh import (
     DATA_AXIS,
     batch_sharding,
@@ -48,331 +41,34 @@ from seghiero_tpu.parallel.mesh import (
     stacked_batch_sharding,
 )
 from seghiero_tpu.train.checkpoint import CheckpointManager
-from seghiero_tpu.train.metrics import (
-    SegMetrics,
-    confusion_matrix,
-    pixel_accuracy_counts,
-)
 from seghiero_tpu.train.optim import make_optimizer, make_schedule
-from seghiero_tpu.utils.logging_util import MetricsLogger
-from seghiero_tpu.utils.profiling import StepTimer, maybe_profile
-from seghiero_tpu.utils.tables import ascii_table
 
 
-class TrainState(struct.PyTreeNode):
-    step: jax.Array
-    params: Any
-    batch_stats: Any
-    opt_state: Any
-    # exponential moving average of params (training.ema_decay > 0);
-    # None (an empty pytree) when EMA is off, so non-EMA states keep
-    # their historical leaf structure and old checkpoints restore as-is
-    ema_params: Any = None
-
-
-def make_composite_loss(
-    cfg: SegHieroConfig, axis_name: Optional[str] = None, mesh=None
-):
-    """2- vs 3-level loss dispatch on the presence of a super level
-    (mirrors train.py:176-233). ``training.fast_losses`` selects the
-    C-major TPU fast path (losses/fast.py), equivalence-tested against
-    the NHWC parity implementations. ``mesh`` (pjit mode only) lets the
-    3-level RMI Pallas kernels stay engaged on a multi-chip mesh via a
-    nested shard_map over the batch dim."""
-    h = cfg.hierarchy
-    t = cfg.training
-    # OHEM keep-floor is per image in config, per batch in the sampler
-    # (mmseg multiplies min_kept by the batch size). In ddp mode the
-    # composite runs per replica on its LOCAL shard, so the multiplier is
-    # the local batch.
-    local_batch = t.batch_size
-    if axis_name is not None and mesh is not None:
-        local_batch = max(1, t.batch_size // mesh.shape[axis_name])
-    ohem = (
-        (t.ohem_thresh, t.ohem_min_kept * local_batch)
-        if t.ohem_thresh is not None
-        else None
-    )
-    if t.fast_losses:
-        from seghiero_tpu.losses.fast import (
-            FastHieraTripletLoss,
-            FastRMIHieraTripletLoss,
-        )
-
-        if h.has_super:
-            return FastRMIHieraTripletLoss(
-                h,
-                rmi_radius=t.rmi_radius,
-                loss_weight_lambda=t.fine_weight,
-                loss_weight=1.0,
-                axis_name=axis_name,
-                rmi_streaming=t.rmi_streaming,
-                rmi_backend=t.rmi_backend,
-                mesh=mesh if axis_name is None else None,
-                rmi_precision=t.rmi_precision,
-                hiera_variant=t.hiera_variant,
-                focal_gamma=t.focal_gamma,
-                ohem=ohem,
-            )
-        return FastHieraTripletLoss(
-            h,
-            loss_weight=t.fine_weight,
-            axis_name=axis_name,
-            use_pallas=t.pallas_fused_loss,
-            hiera_variant=t.hiera_variant,
-            focal_gamma=t.focal_gamma,
-            ohem=ohem,
-        )
-    if h.has_super:
-        return RMIHieraTripletLoss(
-            hierarchy=h,
-            rmi_radius=t.rmi_radius,
-            rmi_pool_way=t.rmi_pool_way,
-            rmi_pool_size=t.rmi_pool_size,
-            rmi_pool_stride=t.rmi_pool_stride,
-            loss_weight_lambda=t.fine_weight,
-            loss_weight=1.0,
-            axis_name=axis_name,
-            hiera_variant=t.hiera_variant,
-            focal_gamma=t.focal_gamma,
-            ohem=ohem,
-        )
-    return HieraTripletLoss(
-        hierarchy=h,
-        loss_weight=t.fine_weight,
-        axis_name=axis_name,
-        hiera_variant=t.hiera_variant,
-        focal_gamma=t.focal_gamma,
-        ohem=ohem,
-    )
-
-
-def _forward_losses(
-    model: HieroSegmenter,
-    composite,
-    cfg: SegHieroConfig,
-    variables: Dict,
-    batch: Dict,
-    sched_step: jax.Array,
-    train: bool,
-    need_full_logits: bool = False,
-):
-    """Shared forward + loss assembly (train.py:266-315 for train,
-    :341-378 for val — identical math). Fast-path composites
-    (losses/fast.py) take the LOW-resolution logits and do the resize
-    internally in C-major layout; the NHWC full-res logits are then only
-    materialized when the caller needs them (eval argmax)."""
-    images = normalize_images(
-        batch["image"], cfg.transform.normalize_mean, cfg.transform.normalize_std
-    )
-    fine = batch["fine"]
-    H, W = fine.shape[1:3]
-    n_fine = cfg.hierarchy.n_fine
-
-    if train:
-        out, mutated = model.apply(
-            variables,
-            images,
-            train=True,
-            mutable=["batch_stats"],
-            # per-step dropout stream seeded from training.seed (only the
-            # plain-ASPP head uses it)
-            rngs={
-                "dropout": jax.random.fold_in(
-                    jax.random.key(cfg.training.seed), sched_step
-                )
-            },
-        )
-        new_batch_stats = mutated["batch_stats"]
-    else:
-        out = model.apply(variables, images, train=False)
-        new_batch_stats = variables.get("batch_stats")
-
-    logits = out["logits"]  # [B, H/4, W/4, C] f32
-    fast = getattr(composite, "wants_low_res", False)
-
-    extra_specs = cfg.training.extra_losses
-    if fast:
-        main_loss = composite(sched_step, out["embedding"], logits, logits, fine)
-        from seghiero_tpu.losses.fast import aux_ce_fast
-
-        aux_loss = aux_ce_fast(out["aux_logits"], fine, cfg.hierarchy.ignore_index)
-        logits_full = (
-            resize_bilinear(logits, (H, W))
-            if (need_full_logits or extra_specs)
-            else None
-        )
-    else:
-        logits_before = resize_bilinear(logits, half_size(logits.shape[1:3]))  # 1/8
-        logits_full = resize_bilinear(logits, (H, W))
-        main_loss = composite(
-            sched_step, out["embedding"], logits_before[..., :n_fine], logits_full, fine
-        )
-        aux_up = resize_bilinear(out["aux_logits"], (H, W))
-        aux_loss = softmax_cross_entropy(aux_up, fine, divide_by="valid")
-    loss = main_loss + cfg.training.aux_weight * aux_loss
-    if extra_specs:
-        from seghiero_tpu.losses.extra import extra_losses_total
-
-        loss = loss + extra_losses_total(
-            extra_specs, logits_full, fine, cfg.hierarchy
-        )
-    return loss, main_loss, aux_loss, (logits, logits_full), new_batch_stats
-
-
-def _ema_update(ema, params, decay: float):
-    """Parameter EMA (``training.ema_decay``): ema ← d·ema + (1−d)·params
-    after each optimizer update. Trace-time no-op when EMA is off."""
-    if ema is None or not decay:
-        return ema
-    return jax.tree_util.tree_map(
-        lambda e, p: (e * decay + (1.0 - decay) * p).astype(p.dtype), ema, params
-    )
-
-
-def make_train_step(
-    model: HieroSegmenter, composite, cfg: SegHieroConfig, tx
-) -> Callable:
-    unit = cfg.training.triplet_schedule_unit
-
-    def train_step(state: TrainState, batch: Dict, epoch: jax.Array):
-        sched_step = state.step if unit == "step" else epoch
-
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            loss, main, aux, _, new_bs = _forward_losses(
-                model, composite, cfg, variables, batch, sched_step, train=True
-            )
-            return loss, (main, aux, new_bs)
-
-        (loss, (main, aux, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(
-            lambda p, u: (p + u).astype(p.dtype), state.params, updates
-        )
-        new_state = state.replace(
-            step=state.step + 1,
-            params=new_params,
-            batch_stats=new_bs,
-            opt_state=new_opt_state,
-            ema_params=_ema_update(
-                state.ema_params, new_params, cfg.training.ema_decay
-            ),
-        )
-        metrics = {"loss": loss, "main_loss": main, "aux_loss": aux}
-        return new_state, metrics
-
-    return train_step
-
-
-def make_train_step_ddp(
-    model: HieroSegmenter, composite, cfg: SegHieroConfig, tx, mesh
-) -> Callable:
-    """DDP-semantics training step via shard_map over the 'data' axis.
-
-    This is the faithful TPU translation of the reference's (dead) DDP
-    spec: each replica computes the loss on its local shard — BatchNorm
-    statistics are LOCAL to the replica (reference per-device BN), the
-    triplet term activates only when EVERY replica found triplet classes
-    (the all_gather gate at hiera_triplet_loss.py:193-200, here a
-    ``pmin`` riding ICI), and gradients are pmean'd before the update so
-    replicas stay bitwise in lock-step. ``composite`` must carry
-    ``axis_name=DATA_AXIS``.
-    """
-    from jax.sharding import PartitionSpec as P
-    from jax import shard_map
-
-    unit = cfg.training.triplet_schedule_unit
-
-    def per_replica(state: TrainState, batch: Dict, epoch: jax.Array):
-        sched_step = state.step if unit == "step" else epoch
-
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            loss, main, aux, _, new_bs = _forward_losses(
-                model, composite, cfg, variables, batch, sched_step, train=True
-            )
-            return loss, (main, aux, new_bs)
-
-        (loss, (main, aux, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        # running BN stats averaged so the replicated state stays identical
-        new_bs = jax.lax.pmean(new_bs, DATA_AXIS)
-        metrics = {
-            "loss": jax.lax.pmean(loss, DATA_AXIS),
-            "main_loss": jax.lax.pmean(main, DATA_AXIS),
-            "aux_loss": jax.lax.pmean(aux, DATA_AXIS),
-        }
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(
-            lambda p, u: (p + u).astype(p.dtype), state.params, updates
-        )
-        # grads are pmean'd, so params (and hence the EMA) stay bitwise
-        # identical across replicas — no extra collective needed
-        new_state = state.replace(
-            step=state.step + 1,
-            params=new_params,
-            batch_stats=new_bs,
-            opt_state=new_opt_state,
-            ema_params=_ema_update(
-                state.ema_params, new_params, cfg.training.ema_decay
-            ),
-        )
-        return new_state, metrics
-
-    return shard_map(
-        per_replica,
-        mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )  # check_vma off: pmean'd outputs are replicated by construction
-
-
-def make_eval_step(model: HieroSegmenter, composite, cfg: SegHieroConfig) -> Callable:
-    h = cfg.hierarchy
-    # with EMA on, validation (and hence best-checkpoint selection) sees
-    # the averaged weights — the weights one would deploy
-    use_ema = cfg.training.ema_decay > 0
-
-    def eval_step(state: TrainState, batch: Dict):
-        params = state.ema_params if use_ema else state.params
-        variables = {"params": params, "batch_stats": state.batch_stats}
-        loss, main, aux, (logits_lo, logits_full), _ = _forward_losses(
-            model, composite, cfg, variables, batch, state.step, train=False
-        )
-        if logits_full is None:
-            # metrics in C-major (same layout rationale as the predictor)
-            lo = jnp.transpose(logits_lo, (0, 3, 1, 2))
-            B, C = lo.shape[:2]
-            H, W = batch["fine"].shape[1:3]
-            logits_cm = jax.image.resize(
-                lo, (B, C, H, W), "linear", antialias=False
-            )
-        else:
-            logits_cm = jnp.transpose(logits_full, (0, 3, 1, 2))
-        stats = {}
-        level_labels = {"fine": batch["fine"], "coarse": batch.get("coarse")}
-        if h.has_super:
-            level_labels["super"] = batch.get("super")
-        for (lvl, (lo_, hi_)) in zip(level_labels, h.level_slices):
-            labels = level_labels[lvl]
-            pred = jnp.argmax(logits_cm[:, lo_:hi_], axis=1)
-            correct, valid = pixel_accuracy_counts(pred, labels, h.ignore_index)
-            cm = confusion_matrix(pred, labels, hi_ - lo_, h.ignore_index)
-            stats[lvl] = {"correct": correct, "valid": valid, "cm": cm}
-        return {"loss": loss, "levels": stats}
-
-    return eval_step
+# Step builders live in train/steps.py; re-exported here because the
+# public API (and the reference-parity tests) historically imported them
+# from train.trainer.
+from seghiero_tpu.train.steps import (  # noqa: F401  (re-export)
+    TrainState,
+    _ema_update,
+    _forward_losses,
+    make_composite_loss,
+    make_eval_step,
+    make_train_step,
+    make_train_step_ddp,
+)
+from seghiero_tpu.train.loop import FitLoopMixin
 
 
 @dataclasses.dataclass
-class Trainer:
-    """End-to-end training orchestration (reference train.py:main)."""
+class Trainer(FitLoopMixin):
+    """End-to-end training orchestration (reference train.py:main).
+
+    Construction (this module): mesh + sharding layout, datasets/loaders,
+    optimizer, pretrained import, and the jitted train/superstep/eval
+    step functions. The epoch loop itself lives in
+    :class:`seghiero_tpu.train.loop.FitLoopMixin`; the per-step math in
+    :mod:`seghiero_tpu.train.steps`.
+    """
 
     cfg: SegHieroConfig
     mesh: Any = None
@@ -695,252 +391,7 @@ class Trainer:
             )
         return params, batch_stats
 
-    # ------------------------------------------------------------------
-    def _batch_groups(self, iterator):
-        """Group the loader stream into ``steps_per_dispatch``-sized
-        chunks (the epoch tail may be shorter)."""
-        k = self.cfg.training.steps_per_dispatch
-        buf = []
-        for batch in iterator:
-            buf.append(batch)
-            if len(buf) == k:
-                yield buf
-                buf = []
-        if buf:
-            yield buf
 
-    def _run_steps(self, batches, epoch_arr):
-        """Dispatch one group: the scan superstep when the group is a full
-        ``steps_per_dispatch`` chunk, per-step jit otherwise (a shorter
-        tail group would otherwise force a second superstep compile).
-
-        Returns ``(last_loss, summed_loss, n_steps)`` — device scalars;
-        only the log-interval path materializes them on host."""
-        k = self.cfg.training.steps_per_dispatch
-        if k > 1 and len(batches) == k:
-            stacked = self._stack_batches(*batches)
-            self.state, m = self._train_superstep(self.state, stacked, epoch_arr)
-            return m["loss"], m["loss_sum"], k
-        last = tot = None
-        for b in batches:
-            self.state, m = self._train_step(self.state, b, epoch_arr)
-            last = m["loss"]
-            tot = last if tot is None else tot + last
-        return last, tot, len(batches)
-
-    def fit(self) -> list:
-        cfg = self.cfg
-        history = []
-        logger = MetricsLogger(
-            cfg.output.metrics_jsonl, cfg.output.tensorboard_dir
-        )
-        n_train = len(self.train_loader)
-        with maybe_profile(cfg.output.profile_dir):
-            for epoch in range(self.start_epoch, cfg.training.epochs):
-                timer = StepTimer()
-                self.train_loader.set_epoch(epoch)
-                running = 0.0
-                # device-side running sum: O(1) memory, one async scalar
-                # add per step, ONE host sync at epoch end (a list of
-                # per-step scalars would pin n_train buffers and stack
-                # them into an n_train-operand concat HLO)
-                loss_sum, loss_n = jnp.zeros((), jnp.float32), 0
-                t0 = time.perf_counter()
-                iterator = iter(self.train_loader)
-                pbar = None
-                if self.verbose:
-                    try:  # reference-style progress bar (train.py:259)
-                        from tqdm import tqdm
-
-                        pbar = tqdm(
-                            total=n_train,
-                            desc=f"Epoch {epoch + 1}/{cfg.training.epochs} [Train]",
-                            leave=False,
-                        )
-                    except ImportError:
-                        pbar = None
-                done = 0
-                for group in self._batch_groups(iterator):
-                    prev = done
-                    last, tot, k = self._run_steps(group, jnp.asarray(epoch))
-                    done += k
-                    loss_sum, loss_n = loss_sum + tot, loss_n + k
-                    timer.tick(cfg.training.batch_size * k)
-                    if pbar is not None:
-                        pbar.update(k)
-                    log_every = cfg.training.log_every
-                    if (done // log_every) != (prev // log_every) or done == n_train:
-                        running = float(last)  # one sync per log interval
-                        ips = timer.images_per_sec
-                        if pbar is not None:
-                            pbar.set_postfix(
-                                train_loss=f"{running:.4f}",
-                                **({"img_s": f"{ips:.1f}"} if ips else {}),
-                            )
-                        elif self.verbose:
-                            print(
-                                f"epoch {epoch + 1} step {done}/{n_train} "
-                                f"loss {running:.4f}"
-                                + (f" ({ips:.1f} img/s)" if ips else "")
-                            )
-                if pbar is not None:
-                    pbar.close()
-                train_time = time.perf_counter() - t0
-                # true epoch average (train.py:403-414 averages over the
-                # epoch; `running` is only the last logged step's loss)
-                train_loss = float(loss_sum) / loss_n if loss_n else running
-
-                val = self.evaluate()
-                self._export_samples(epoch)
-                record = {
-                    "epoch": epoch + 1,
-                    "train_loss": train_loss,
-                    "val_loss": val["loss"],
-                    "val_acc": val["fine_acc"],
-                    "val_fine_miou": val["fine_miou"],
-                    "val_coarse_miou": val.get("coarse_miou"),
-                    "train_images_per_sec": timer.images_per_sec,
-                    "train_seconds": train_time,
-                }
-                history.append(record)
-                logger.log(record)
-                if self.verbose:
-                    rows = [
-                        ["Epoch", "Avg Train Loss", "Avg Val Loss", "Val Pixel Acc",
-                         "Val fine mIoU"],
-                        [
-                            epoch + 1,
-                            f"{train_loss:.4f}",
-                            f"{val['loss']:.4f}",
-                            f"{val['fine_acc'] * 100:.2f}%",
-                            f"{val['fine_miou'] * 100:.2f}%",
-                        ],
-                    ]
-                    print(ascii_table(rows))
-
-                is_best = val["loss"] < self.best_val_loss
-                if is_best:
-                    self.best_val_loss = val["loss"]
-                    self._epochs_since_best = 0
-                else:
-                    self._epochs_since_best += 1
-                self.ckpt.save(
-                    self.state,
-                    epoch=epoch + 1,
-                    metrics=record,
-                    best_val_loss=self.best_val_loss,
-                    config_raw=cfg.raw,
-                    is_best=is_best,
-                )
-                if is_best and self.verbose:
-                    print(f"→ Saved new best model (val_loss {val['loss']:.4f})\n")
-                patience = cfg.training.early_stop_patience
-                if patience and self._epochs_since_best >= patience:
-                    # extension: stop when val loss hasn't improved for
-                    # `patience` epochs (the best checkpoint is already
-                    # saved; the reference always runs every epoch)
-                    if self.verbose:
-                        print(
-                            f"→ Early stop: no val-loss improvement for "
-                            f"{patience} epoch(s) (best "
-                            f"{self.best_val_loss:.4f})"
-                        )
-                    break
-            if self.verbose and self._last_eval is not None:
-                # final per-class IoU report (extension; reference has no
-                # mIoU) — from the last epoch's accumulator, not a second
-                # full pass over the val set
-                print(self._iou_table(self._last_eval))
-        self.ckpt.wait()  # flush the last async save before returning
-        logger.close()
-        return history
-
+    # epoch-loop state consumed by FitLoopMixin (train/loop.py)
     _last_eval: Any = dataclasses.field(default=None, init=False, repr=False)
     _sample_predict: Any = dataclasses.field(default=None, init=False, repr=False)
-
-    def _export_samples(self, epoch: int) -> None:
-        """``output.sample_images``: write N val predictions (plus the
-        input and fine ground truth) as colorized PNGs under
-        ``<checkpoint_dir>/<project>/samples/epoch_NNN/`` — visual
-        training progress at a glance (extension; off by default)."""
-        n = self.cfg.output.sample_images
-        if not n:
-            return
-        import os
-
-        from PIL import Image
-
-        from seghiero_tpu.infer.viz import create_colormap, mask_to_color_image
-
-        cfg, h = self.cfg, self.cfg.hierarchy
-        batch = next(iter(self.val_loader))
-        if self._sample_predict is None:
-            model = self.model
-            use_ema = cfg.training.ema_decay > 0
-
-            def predict(state: TrainState, batch: Dict):
-                params = state.ema_params if use_ema else state.params
-                variables = {"params": params, "batch_stats": state.batch_stats}
-                images = normalize_images(
-                    batch["image"],
-                    cfg.transform.normalize_mean,
-                    cfg.transform.normalize_std,
-                )
-                out = model.apply(variables, images, train=False)
-                logits = resize_bilinear(
-                    out["logits"], batch["fine"].shape[1:3]
-                )
-                levels = ("fine", "coarse", "super")
-                return {
-                    lvl: jnp.argmax(logits[..., lo:hi], -1).astype(jnp.int32)
-                    for lvl, (lo, hi) in zip(levels, h.level_slices)
-                }
-
-            self._sample_predict = jax.jit(predict)
-        preds = jax.device_get(self._sample_predict(self.state, batch))
-        outdir = os.path.join(
-            cfg.output.checkpoint_dir,
-            cfg.output.project_name,
-            "samples",
-            f"epoch_{epoch + 1:03d}",
-        )
-        os.makedirs(outdir, exist_ok=True)
-        counts = {"fine": h.n_fine, "coarse": h.n_coarse, "super": h.n_super}
-        imgs = np.asarray(batch["image"])
-        gts = np.asarray(batch["fine"])
-        for i in range(min(n, imgs.shape[0])):
-            Image.fromarray(imgs[i].astype(np.uint8)).save(
-                os.path.join(outdir, f"img{i}.png")
-            )
-            gt = np.where(gts[i] == h.ignore_index, -1, gts[i])  # 255 → black
-            gt_color = mask_to_color_image(gt, create_colormap(counts["fine"]))
-            gt_color.save(os.path.join(outdir, f"img{i}_gt_fine.png"))
-            for lvl, m in preds.items():
-                color = mask_to_color_image(
-                    np.asarray(m[i]), create_colormap(counts[lvl])
-                )
-                color.save(os.path.join(outdir, f"img{i}_pred_{lvl}.png"))
-
-    def _iou_table(self, acc) -> str:
-        h = self.cfg.hierarchy
-        names = {"fine": self.cfg.fine_names, "coarse": self.cfg.coarse_names}
-        if h.has_super:
-            names["super"] = self.cfg.super_names
-        return acc.iou_table(names)
-
-    def evaluate(self, with_table: bool = False):
-        h = self.cfg.hierarchy
-        levels = {"fine": h.n_fine, "coarse": h.n_coarse}
-        if h.has_super:
-            levels["super"] = h.n_super
-        acc = SegMetrics(levels)
-        # keep per-batch results on device; ONE host transfer at the end
-        # (a device_get per eval batch costs a full dispatch round-trip
-        # through remote-TPU relays)
-        outs = [self._eval_step(self.state, batch) for batch in self.val_loader]
-        for out in jax.device_get(outs):
-            acc.update(float(out["loss"]), out["levels"])
-        self._last_eval = acc
-        if with_table:
-            return acc.summary(), self._iou_table(acc)
-        return acc.summary()
