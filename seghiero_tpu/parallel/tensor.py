@@ -38,10 +38,16 @@ from seghiero_tpu.parallel.mesh import MODEL_AXIS
 
 # (path suffix, index of the dimension sharded over `model`)
 TP_RULES = (
-    # attention: q/k/v column-parallel (heads split across devices);
-    # plain ViT's fused qkv projection shards the same way (its output
-    # axis is the q,k,v concat — the split/reshape-to-heads downstream
-    # propagates the sharding)
+    # attention: q/k/v column-parallel (heads split across devices).
+    # Plain ViT's FUSED qkv projection is sharded on its output axis
+    # too, but that axis is the [q|k|v] concat, so GSPMD's contiguous
+    # chunks cross the q/k/v boundaries (not the head-aligned Megatron
+    # layout): the downstream jnp.split re-shards each third with a
+    # collective. Correct under GSPMD, and the matmul itself — the FLOPs
+    # — still runs column-parallel; the resharding is one all-to-all of
+    # activations per block. (A head-aligned layout would need an
+    # interleaved sharding GSPMD cannot express on one axis, or a
+    # checkpoint-breaking split of the fused kernel.)
     ("attn/qkv/kernel", 1),
     ("attn/qkv/bias", 0),
     ("attn/q/kernel", 1),
@@ -87,6 +93,24 @@ def tp_spec(path_str: str, shape, m: int):
                 return P(*spec)
             return None
     return None
+
+
+def tp_matched_leaf_count(tree, m: int) -> int:
+    """How many leaves of ``tree`` the Megatron rules would actually
+    shard at ``tensor_shards=m``. Zero means TP is a silent no-op for
+    this model (e.g. a conv-only backbone: TP_RULES match only
+    transformer attention/FFN paths) — the trainer raises in that case
+    rather than let the model axis eat devices for nothing."""
+    count = 0
+
+    def visit(path, x):
+        nonlocal count
+        if tp_spec(_path_str(path), getattr(x, "shape", ()), m) is not None:
+            count += 1
+        return x
+
+    jax.tree_util.tree_map_with_path(visit, tree)
+    return count
 
 
 def tp_state_sharding(mesh: Mesh, tree, base_tree):

@@ -197,8 +197,25 @@ class Trainer(FitLoopMixin):
                 else jax.tree_util.tree_map(lambda _: rep, self.state)
             )
             if tp_on:
-                from seghiero_tpu.parallel.tensor import tp_state_sharding
+                from seghiero_tpu.parallel.tensor import (
+                    tp_matched_leaf_count,
+                    tp_state_sharding,
+                )
 
+                matched = tp_matched_leaf_count(
+                    self.state.params, cfg.training.tensor_shards
+                )
+                if matched == 0:
+                    raise ValueError(
+                        f"training.tensor_shards={cfg.training.tensor_shards} "
+                        f"matches zero parameter leaves of backbone "
+                        f"{cfg.model.backbone!r} — the Megatron TP rules "
+                        "shard transformer attention/FFN weights only "
+                        "(parallel/tensor.py TP_RULES). TP here would "
+                        "silently shrink the data axis with no model "
+                        "sharding; use a transformer backbone (mit, swin, "
+                        "vit) or drop tensor_shards."
+                    )
                 base = tp_state_sharding(self.mesh, self.state, base)
             state_sh = base
             self.state = jax.device_put(self.state, state_sh)

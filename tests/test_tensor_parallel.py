@@ -191,3 +191,29 @@ def test_tp_config_validation():
         _cfg(tensor_shards=2, parallel_mode="ddp")
     with pytest.raises(ValueError, match="model"):
         _cfg(tensor_shards=2, spatial_shards=2)
+
+
+def test_tp_conv_backbone_rejected(eight_devices):
+    """tensor_shards on a conv-only backbone must raise, not silently
+    allocate a model axis that halves the data axis (TP_RULES match only
+    transformer attention/FFN paths)."""
+    from seghiero_tpu.train.trainer import Trainer
+
+    cfg = _cfg(tensor_shards=4)
+    cfg = SegHieroConfig.from_dict(
+        {**cfg.raw, "model": {"backbone": "resnet", "depth": 18}}
+    )
+    with pytest.raises(ValueError, match="zero parameter leaves"):
+        Trainer(cfg, verbose=False)
+
+
+def test_tp_matched_leaf_count():
+    from seghiero_tpu.parallel.tensor import tp_matched_leaf_count
+
+    conv_tree = {"backbone": {"conv1": {"kernel": jnp.zeros((3, 3, 3, 8))}}}
+    assert tp_matched_leaf_count(conv_tree, 2) == 0
+    tf_tree = {
+        "attn": {"q": {"kernel": jnp.zeros((8, 8))}},
+        "mlp": {"fc1": {"kernel": jnp.zeros((8, 32))}},
+    }
+    assert tp_matched_leaf_count(tf_tree, 2) == 2
