@@ -579,7 +579,7 @@ def import_swin_backbone(sd: Dict, variant: str) -> Dict:
     return params
 
 
-def import_vit_backbone(sd: Dict, variant: str) -> Dict:
+def import_vit_backbone(sd: Dict, variant: str, pos_grid: int = 0) -> Dict:
     """Plain ViT state_dict → encoder params for
     :class:`~seghiero_tpu.models.vit.ViTBackbone` (LayerNorm-only: no
     batch_stats). Returns ONLY encoder weights — the ViTDet pyramid
@@ -665,6 +665,27 @@ def import_vit_backbone(sd: Dict, variant: str) -> Dict:
             f"state_dict embed dim {params['pos_embed'].shape[-1]} does "
             f"not match vit variant {variant!r} (dim {dim})"
         )
+    if pos_grid:
+        # catch a pos_grid/checkpoint mismatch HERE with the knob named,
+        # not later as an opaque flax ScopeParamShapeError at first apply
+        # (e.g. DINOv2's 518//14=37 grid vs the 224//16=14 default)
+        want = 1 + pos_grid * pos_grid
+        got = params["pos_embed"].shape[1]
+        if got != want:
+            import math
+
+            side = math.isqrt(got - 1)
+            hint = (
+                f"; the checkpoint looks like a {side}x{side} grid — set "
+                f"backbone_options.pos_grid: {side}"
+                if side * side == got - 1
+                else ""
+            )
+            raise ValueError(
+                f"checkpoint pos_embed has {got} tokens but "
+                f"backbone_options.pos_grid={pos_grid} expects {want} "
+                f"(1 + {pos_grid}²){hint}"
+            )
     if "reg_tokens" in sd:
         params["reg_tokens"] = _np(sd["reg_tokens"])
     for i in range(depth):

@@ -15,9 +15,10 @@ the strongest public segmentation encoders today (DINOv2, MAE, CLIP):
 Architecture per "An Image is Worth 16x16 Words" (Dosovitskiy et al.,
 arXiv:2010.11929): non-overlapping ``patch``-strided conv embedding, a
 CLS token (plus optional DINOv2-style register tokens,
-arXiv:2309.16588), learned position embeddings **bilinearly
+arXiv:2309.16588), learned position embeddings **bicubically
 interpolated** from the pretraining grid to the input grid (the
-standard dense-prediction adaptation), then ``depth`` pre-norm
+standard dense-prediction adaptation, matching timm/DINOv2/HF
+``F.interpolate(mode="bicubic")``), then ``depth`` pre-norm
 transformer blocks (MHSA with a fused qkv projection, exact-GELU MLP,
 optional per-branch LayerScale for DINOv2 checkpoints, per-sample
 stochastic depth) and a final LayerNorm.
@@ -59,6 +60,7 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from seghiero_tpu.models.convnext import DropPath
 
@@ -74,23 +76,54 @@ VARIANTS = {
 MLP_RATIO = 4
 
 
+def _cubic_resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """``[n_out, n_in]`` torch-bicubic interpolation matrix
+    (``F.interpolate(mode="bicubic", align_corners=False)``: cubic
+    convolution with A=-0.75, half-pixel centers, clamped borders).
+    Built in numpy at trace time — static shapes — so the resize itself
+    is one small matmul per axis on device."""
+    A = -0.75
+    scale = n_in / n_out
+    W = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        center = (i + 0.5) * scale - 0.5
+        i0 = int(np.floor(center))
+        t = center - i0
+        # 4-tap cubic-convolution weights at offsets -1..2
+        w = (
+            ((A * (t + 1) - 5 * A) * (t + 1) + 8 * A) * (t + 1) - 4 * A,
+            ((A + 2) * t - (A + 3)) * t * t + 1,
+            ((A + 2) * (1 - t) - (A + 3)) * (1 - t) * (1 - t) + 1,
+            ((A * (2 - t) - 5 * A) * (2 - t) + 8 * A) * (2 - t) - 4 * A,
+        )
+        for k, wk in enumerate(w):
+            W[i, min(max(i0 - 1 + k, 0), n_in - 1)] += wk
+    return W
+
+
 def interpolate_pos_embed(
     pos: jnp.ndarray, grid: Tuple[int, int], new_grid: Tuple[int, int]
 ) -> jnp.ndarray:
     """Resize the patch part of a ``[1, 1+G·G, D]`` position table to a
-    new grid, keeping the CLS slot — bilinear, antialias off (matches
-    torch ``F.interpolate(mode="bicubic"→"bilinear")`` semantics closely
-    enough for fine-tuning; the table is retrained anyway)."""
+    new grid, keeping the CLS slot — exact torch
+    ``F.interpolate(mode="bicubic", align_corners=False)`` semantics
+    (cubic convolution, A=-0.75), the interpolation timm / DINOv2 / HF
+    all use, so a 224-pretrained table transfers at 512+ with step-0
+    fidelity. (``jax.image.resize``'s "bicubic" is the Keys a=-0.5
+    kernel — measurably different, ~0.2 max abs on unit-normal tables.)"""
     cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
     gh, gw = grid
     nh, nw = new_grid
     if (gh, gw) == (nh, nw):
         return pos
     d = pos.shape[-1]
-    patch_pos = patch_pos.reshape(1, gh, gw, d)
-    patch_pos = jax.image.resize(
-        patch_pos, (1, nh, nw, d), method="bilinear"
-    ).reshape(1, nh * nw, d)
+    wh = jnp.asarray(_cubic_resize_matrix(gh, nh))
+    ww = jnp.asarray(_cubic_resize_matrix(gw, nw))
+    patch_pos = patch_pos.reshape(gh, gw, d).astype(jnp.float32)
+    # separable: rows then columns, each one small dense matmul
+    patch_pos = jnp.einsum("Hh,hwd->Hwd", wh, patch_pos)
+    patch_pos = jnp.einsum("Ww,hwd->hWd", ww, patch_pos)
+    patch_pos = patch_pos.reshape(1, nh * nw, d).astype(pos.dtype)
     return jnp.concatenate([cls_pos, patch_pos], axis=1)
 
 

@@ -330,6 +330,61 @@ class Trainer(FitLoopMixin):
         )
         return jax.device_put(state, replicated_sharding(self.mesh))
 
+    @staticmethod
+    def _check_vit_merge(init_bb, imported):
+        """A ``{**init, **imported}`` merge replaces whole block subtrees
+        and flax apply silently ignores parameters the module never
+        declares — so a DINOv2 checkpoint imported with the default
+        ``layer_scale_init: 0`` / ``n_register: 0`` would run with
+        full-scale residual branches and no registers: a drastically
+        wrong pretrained forward with no error. Cross-check the leaf
+        paths instead of trusting the merge."""
+        import jax as _jax
+
+        def paths(tree):
+            return {
+                _jax.tree_util.keystr(p)
+                for p, _ in _jax.tree_util.tree_leaves_with_path(tree)
+            }
+
+        init_paths, imp_paths = paths(init_bb), paths(imported)
+        extra = imp_paths - init_paths
+        if extra:
+            hints = []
+            if any("ls1_gamma" in p or "ls2_gamma" in p for p in extra):
+                hints.append(
+                    "LayerScale gammas → set backbone_options."
+                    "layer_scale_init (e.g. 1e-5; any nonzero value is "
+                    "overwritten by the import)"
+                )
+            if any("reg_tokens" in p for p in extra):
+                hints.append(
+                    "register tokens → set backbone_options.n_register "
+                    "(DINOv2-with-registers ships 4)"
+                )
+            sample = sorted(extra)[:4]
+            raise ValueError(
+                f"the ViT checkpoint carries {len(extra)} parameter(s) the "
+                f"configured backbone does not declare (e.g. {sample}); "
+                "flax would silently drop them and run a wrong pretrained "
+                "forward. " + ("Fix: " + "; ".join(hints) if hints else "")
+            )
+        missing_scale = {
+            p
+            for p in init_paths - imp_paths
+            if "ls1_gamma" in p or "ls2_gamma" in p or "reg_tokens" in p
+        }
+        if missing_scale:
+            import warnings
+
+            warnings.warn(
+                f"backbone_options enable LayerScale/registers but the "
+                f"checkpoint has no such weights ({len(missing_scale)} "
+                "leaves keep their fresh init) — wrong "
+                "layer_scale_init/n_register for this checkpoint?",
+                stacklevel=2,
+            )
+
     def _maybe_load_pretrained(self, params, batch_stats):
         """Load converted torchvision backbone weights when
         ``model.pretrained`` is a path (train.py:155 loads ImageNet
@@ -376,12 +431,17 @@ class Trainer(FitLoopMixin):
                     import_vit_backbone,
                 )
 
-                variant = (self.cfg.model.backbone_options or {}).get(
-                    "variant", "base"
-                )
+                opts = self.cfg.model.backbone_options or {}
+                variant = opts.get("variant", "base")
+                # the model's effective grid (ViTBackbone defaults
+                # pos_grid to 224 // patch) so grid mismatches raise at
+                # import time with the knob named
+                grid = opts.get("pos_grid") or 224 // opts.get("patch", 16)
+                imported = import_vit_backbone(sd, variant, pos_grid=grid)
+                self._check_vit_merge(params["backbone"], imported)
                 # encoder weights only — the ViTDet pyramid (fpn*) is
                 # not in ViT checkpoints and keeps its fresh init
-                bp = {**params["backbone"], **import_vit_backbone(sd, variant)}
+                bp = {**params["backbone"], **imported}
                 bs = None
             elif family == "resnet":
                 bp, bs = import_torchvision_backbone(sd, self.cfg.model.depth)

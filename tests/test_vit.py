@@ -260,3 +260,80 @@ def test_import_rejects_wrong_variant_and_layout(tiny_variant):
         import_vit_backbone({}, "nope")
     with pytest.raises(ValueError, match="unrecognized ViT"):
         import_vit_backbone({"foo.bar": np.zeros(2)}, tiny_variant)
+
+@pytest.mark.fast
+def test_pos_embed_interpolation_matches_torch_bicubic(rng):
+    """timm/DINOv2/HF interpolate position tables with
+    F.interpolate(mode='bicubic', antialias=False); ours must match so a
+    224-pretrained table transfers with step-0 fidelity."""
+    g, d = 5, 8
+    pos = rng.standard_normal((1, 1 + g * g, d)).astype(np.float32)
+    ours = interpolate_pos_embed(jnp.asarray(pos), (g, g), (9, 7))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(pos[:, 1:].reshape(1, g, g, d).transpose(0, 3, 1, 2)),
+        size=(9, 7),
+        mode="bicubic",
+        align_corners=False,
+        antialias=False,
+    )
+    ref = ref.permute(0, 2, 3, 1).reshape(1, 9 * 7, d).numpy()
+    np.testing.assert_allclose(np.asarray(ours[:, 1:]), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.fast
+def test_import_pos_grid_mismatch_raises(tiny_variant):
+    from transformers import ViTConfig, ViTModel
+
+    cfg = ViTConfig(
+        image_size=64, patch_size=16, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=128,
+    )
+    sd = ViTModel(cfg, add_pooling_layer=False).state_dict()  # 4x4 grid
+    # matching grid passes; wrong grid raises at import time, naming the
+    # knob and suggesting the checkpoint's actual grid
+    import_vit_backbone(sd, tiny_variant, pos_grid=4)
+    with pytest.raises(ValueError, match=r"pos_grid.*: 4"):
+        import_vit_backbone(sd, tiny_variant, pos_grid=14)
+
+
+@pytest.mark.fast
+def test_vit_merge_cross_check():
+    """Importing DINOv2 weights into a backbone configured without
+    LayerScale/registers must raise (flax would silently drop the
+    gammas and run full-scale residual branches); the reverse direction
+    warns."""
+    from seghiero_tpu.train.trainer import Trainer
+
+    init_bb = {
+        "patch_embed": {"kernel": np.zeros((16, 16, 3, 8))},
+        "block0": {"norm1": {"scale": np.ones(8)}},
+    }
+    imported_extra = {
+        "patch_embed": {"kernel": np.zeros((16, 16, 3, 8))},
+        "block0": {
+            "norm1": {"scale": np.ones(8)},
+            "ls1_gamma": np.full(8, 1e-5),
+            "ls2_gamma": np.full(8, 1e-5),
+        },
+        "reg_tokens": np.zeros((1, 4, 8)),
+    }
+    with pytest.raises(ValueError, match="layer_scale_init"):
+        Trainer._check_vit_merge(init_bb, imported_extra)
+    with pytest.raises(ValueError, match="n_register"):
+        Trainer._check_vit_merge(init_bb, imported_extra)
+
+    init_with_scale = {
+        "patch_embed": {"kernel": np.zeros((16, 16, 3, 8))},
+        "block0": {
+            "norm1": {"scale": np.ones(8)},
+            "ls1_gamma": np.full(8, 0.1),
+        },
+    }
+    imported_plain = {
+        "patch_embed": {"kernel": np.zeros((16, 16, 3, 8))},
+        "block0": {"norm1": {"scale": np.ones(8)}},
+    }
+    with pytest.warns(UserWarning, match="fresh init"):
+        Trainer._check_vit_merge(init_with_scale, imported_plain)
+    # clean merge: no error, no warning
+    Trainer._check_vit_merge(imported_plain, imported_plain)
