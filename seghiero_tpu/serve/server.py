@@ -26,18 +26,26 @@ Design, TPU-first:
   * the full decode → predict → respond path never blocks the device:
     PNG encode/decode is host work in the handler threads.
 
+  * bounded admission: the queue holds at most ``max_queue`` pending
+    requests (default 4×max_batch); past that the server sheds load with
+    an immediate 503 + Retry-After instead of buffering a burst into
+    unbounded RSS and 60 s timeouts. Load-test with tools/serve_bench.py.
+
 Endpoints:
   GET  /healthz   liveness + device platform
   GET  /meta      the artifact's meta.json (shapes, levels, class names)
-  GET  /stats     request/batch counters (micro-batching evidence)
+  GET  /stats     request/batch/shed counters + queue depth
+                  (micro-batching evidence)
   POST /predict   body = PNG/JPEG (any size; resized to the artifact's
                   input) or a raw npy array [H,W,3] u8.
                   ?format=json (default) → {"fine": [[...]], ...}
                   ?format=npz            → npz bytes, one array/level
                   ?format=png&level=fine → PNG of that level's mask
+                  503 when the admission queue is full; 504 on timeout.
 
 CLI:  python -m seghiero_tpu.serve --artifact DIR [--port 8765]
-          [--max-batch 8] [--batch-timeout-ms 3] [--no-warmup]
+          [--max-batch 8] [--batch-timeout-ms 3] [--max-queue 32]
+          [--no-warmup]
       (or --config/--checkpoint to export on the fly, then serve)
 """
 
@@ -119,28 +127,58 @@ class _Pending:
     error: Optional[str] = None
 
 
+class Overloaded(RuntimeError):
+    """The admission queue is full — shed the request (HTTP 503)."""
+
+
 class MicroBatcher:
     """Coalesce concurrent requests into device batches.
 
     The dispatcher blocks for the first request, then drains the queue
     for up to ``batch_timeout_s`` or until ``max_batch`` requests are in
     hand, and issues ONE device call for the whole group.
+
+    The admission queue is BOUNDED (``max_queue``, default 4×max_batch):
+    a burst beyond device throughput is shed immediately with
+    :class:`Overloaded` (→ HTTP 503 + Retry-After) instead of growing
+    RSS without bound while every waiter times out at 60 s anyway.
     """
 
     def __init__(self, model: ServingModel, max_batch: int = 8,
-                 batch_timeout_s: float = 0.003):
+                 batch_timeout_s: float = 0.003, max_queue: int = 0):
         self.model = model
         self.max_batch = max_batch
         self.batch_timeout_s = batch_timeout_s
-        self.q: "queue.Queue[_Pending]" = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "batch_sizes": {}}
+        self.max_queue = max_queue or 4 * max_batch
+        self.q: "queue.Queue[_Pending]" = queue.Queue(maxsize=self.max_queue)
+        # counters guarded by a lock: the dispatcher mutates them while
+        # /stats reads — GIL-benign but torn multi-key snapshots otherwise
+        self._stats_lock = threading.Lock()
+        self._stats = {"requests": 0, "batches": 0, "shed": 0,
+                       "batch_sizes": {}}
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
+    @property
+    def stats(self) -> Dict:
+        with self._stats_lock:
+            snap = dict(self._stats)
+            snap["batch_sizes"] = dict(self._stats["batch_sizes"])
+        snap["queue_depth"] = self.q.qsize()
+        snap["max_queue"] = self.max_queue
+        return snap
+
     def submit(self, image: np.ndarray, timeout_s: float = 60.0) -> Dict[str, np.ndarray]:
         p = _Pending(image)
-        self.q.put(p)
+        try:
+            self.q.put_nowait(p)
+        except queue.Full:
+            with self._stats_lock:
+                self._stats["shed"] += 1
+            raise Overloaded(
+                f"admission queue full ({self.max_queue} pending)"
+            ) from None
         if not p.done.wait(timeout_s):
             raise TimeoutError("prediction timed out")
         if p.error is not None:
@@ -149,7 +187,10 @@ class MicroBatcher:
 
     def stop(self) -> None:
         self._stop.set()
-        self.q.put(None)  # unblock the dispatcher
+        try:
+            self.q.put_nowait(None)  # unblock the dispatcher
+        except queue.Full:
+            pass  # dispatcher is mid-group; it re-checks _stop next loop
         self.thread.join(timeout=5)
 
     def _run(self) -> None:
@@ -180,10 +221,13 @@ class MicroBatcher:
                     p.error = f"{type(e).__name__}: {e}"
             for p in group:
                 p.done.set()
-            self.stats["requests"] += len(group)
-            self.stats["batches"] += 1
             key = str(len(group))
-            self.stats["batch_sizes"][key] = self.stats["batch_sizes"].get(key, 0) + 1
+            with self._stats_lock:
+                self._stats["requests"] += len(group)
+                self._stats["batches"] += 1
+                self._stats["batch_sizes"][key] = (
+                    self._stats["batch_sizes"].get(key, 0) + 1
+                )
 
 
 def _decode_request(body: bytes, content_type: str, input_hw) -> np.ndarray:
@@ -229,10 +273,11 @@ def _encode_response(preds: Dict[str, np.ndarray], fmt: str, level: str):
 
 def make_server(model: ServingModel, host: str = "127.0.0.1", port: int = 8765,
                 max_batch: int = 8, batch_timeout_ms: float = 3.0,
-                quiet: bool = True) -> ThreadingHTTPServer:
+                quiet: bool = True, max_queue: int = 0) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server. ``server.batcher`` owns
     the dispatcher thread; call ``server.batcher.stop()`` on shutdown."""
-    batcher = MicroBatcher(model, max_batch, batch_timeout_ms / 1e3)
+    batcher = MicroBatcher(model, max_batch, batch_timeout_ms / 1e3,
+                           max_queue=max_queue)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -241,10 +286,13 @@ def make_server(model: ServingModel, host: str = "127.0.0.1", port: int = 8765,
             if not quiet:
                 BaseHTTPRequestHandler.log_message(self, fmt, *args)
 
-        def _send(self, code: int, body: bytes, ctype: str = "application/json"):
+        def _send(self, code: int, body: bytes, ctype: str = "application/json",
+                  headers: Optional[Dict[str, str]] = None):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -280,6 +328,14 @@ def make_server(model: ServingModel, host: str = "127.0.0.1", port: int = 8765,
                 level = qs.get("level", ["fine"])[0]
                 out, ctype = _encode_response(preds, fmt, level)
                 self._send(200, out, ctype)
+            except Overloaded as e:
+                self._send(503, json.dumps(
+                    {"error": f"Overloaded: {e}"}
+                ).encode(), headers={"Retry-After": "1"})
+            except TimeoutError as e:
+                self._send(504, json.dumps(
+                    {"error": f"TimeoutError: {e}"}
+                ).encode())
             except Exception as e:
                 self._send(400, json.dumps(
                     {"error": f"{type(e).__name__}: {e}"}
@@ -308,6 +364,9 @@ def main(argv=None) -> None:
     p.add_argument("--batch-timeout-ms", type=float, default=3.0,
                    help="how long the dispatcher waits to coalesce a batch "
                    "after the first request arrives")
+    p.add_argument("--max-queue", type=int, default=0,
+                   help="admission-queue bound; beyond it requests get an "
+                   "immediate 503 (default 4x max-batch)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip pre-compiling the batch buckets at startup")
     p.add_argument("--platform", type=str, default=None,
@@ -345,7 +404,8 @@ def main(argv=None) -> None:
         print(f"→ Warmed up batch buckets ≤{args.max_batch} "
               f"in {time.perf_counter() - t0:.1f}s")
     server = make_server(model, args.host, args.port, args.max_batch,
-                         args.batch_timeout_ms, quiet=not args.verbose)
+                         args.batch_timeout_ms, quiet=not args.verbose,
+                         max_queue=args.max_queue)
     print(f"→ Serving on http://{args.host}:{args.port} "
           f"(input {model.input_hw}, max_batch {args.max_batch})")
     try:

@@ -217,3 +217,89 @@ def test_serving_model_batch_beyond_max(served):
     want = pred.predict_array(imgs)
     for lvl in ("fine", "coarse"):
         np.testing.assert_array_equal(out[lvl], want[lvl])
+
+
+class _SlowFakeModel:
+    """Duck-typed ServingModel: slow predict to force queue buildup."""
+
+    input_hw = (4, 4)
+    meta = {"input": {"shape": ["b", 4, 4, 3]}}
+
+    def __init__(self, delay_s=0.15):
+        self.delay_s = delay_s
+
+    def predict(self, imgs, max_batch):
+        import time
+
+        time.sleep(self.delay_s)
+        n = imgs.shape[0]
+        return {"fine": np.zeros((n, 4, 4), np.int32)}
+
+
+def test_overload_sheds_immediately_and_queue_stays_bounded():
+    from seghiero_tpu.serve.server import Overloaded
+
+    mb = MicroBatcher(_SlowFakeModel(), max_batch=1, batch_timeout_s=0.0,
+                      max_queue=2)
+    try:
+        ok, shed = [], []
+
+        def call():
+            try:
+                mb.submit(np.zeros((4, 4, 3), np.uint8), timeout_s=30)
+                ok.append(1)
+            except Overloaded:
+                shed.append(1)
+
+        threads = [threading.Thread(target=call) for _ in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        # with a 2-deep queue and ~0.15s per single-image batch, a 12-way
+        # burst must shed; everything admitted must complete
+        assert shed, "expected at least one Overloaded rejection"
+        assert len(ok) + len(shed) == 12
+        stats = mb.stats
+        assert stats["shed"] == len(shed)
+        assert stats["requests"] == len(ok)
+        assert stats["queue_depth"] <= stats["max_queue"] == 2
+    finally:
+        mb.stop()
+
+
+def test_http_503_on_overload():
+    server = make_server(_SlowFakeModel(delay_s=0.3), host="127.0.0.1",
+                         port=0, max_batch=1, batch_timeout_ms=0.0,
+                         max_queue=1)
+    port = server.server_address[1]
+    url = f"http://127.0.0.1:{port}"
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = _npy_bytes(np.zeros((4, 4, 3), np.uint8))
+        codes, headers = [], []
+
+        def call():
+            req = urllib.request.Request(url + "/predict", data=body,
+                                         method="POST")
+            req.add_header("Content-Type", "application/octet-stream")
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    codes.append(r.status)
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+                headers.append(dict(e.headers))
+
+        threads = [threading.Thread(target=call) for _ in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+        assert 503 in codes, codes
+        assert any(h.get("Retry-After") == "1" for h in headers)
+        assert all(c in (200, 503) for c in codes), codes
+    finally:
+        server.batcher.stop()
+        server.shutdown()
+        server.server_close()

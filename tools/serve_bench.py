@@ -1,0 +1,199 @@
+"""Load test for the micro-batching serving daemon (seghiero_tpu.serve).
+
+Measures the daemon's entire design premise — request coalescing buys
+throughput — with numbers: starts the server in-process over an
+exported artifact, drives it at several client concurrencies, and
+reports p50/p99 latency, img/s, the realized batch-size histogram, and
+shed (503) counts, with micro-batching ON (max_batch > 1) vs OFF
+(--compare runs the same sweep at max_batch 1).
+
+On-chip usage (the point — CPU numbers say nothing about MXU batching):
+
+    python tools/serve_bench.py --config example-config.yaml \
+        --concurrency 1,8,32 --requests 64 --compare --json out.json
+
+The reference has no serving path (infer.py:253-312 rebuilds the model
+per invocation); this daemon + bench are our extension, so they carry
+their own numbers (docs/DESIGN.md "Serving").
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+
+
+def _percentile(xs, q):
+    return float(np.percentile(np.asarray(xs), q)) if xs else float("nan")
+
+
+def _drive(url: str, hw, concurrency: int, n_requests: int):
+    """Fire ``n_requests`` total from ``concurrency`` worker threads;
+    each worker sends its share back-to-back (closed-loop clients)."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (hw[0], hw[1], 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    body = buf.getvalue()
+
+    latencies, codes = [], []
+    lock = threading.Lock()
+
+    def worker(k: int):
+        for _ in range(k):
+            req = urllib.request.Request(
+                url + "/predict?format=npz", data=body, method="POST"
+            )
+            req.add_header("Content-Type", "application/octet-stream")
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    r.read()
+                    code = r.status
+            except urllib.error.HTTPError as e:
+                e.read()
+                code = e.code
+            dt = time.perf_counter() - t0
+            with lock:
+                latencies.append(dt)
+                codes.append(code)
+
+    share, extra = divmod(n_requests, concurrency)
+    threads = [
+        threading.Thread(target=worker, args=(share + (1 if i < extra else 0),))
+        for i in range(concurrency)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    ok = [l for l, c in zip(latencies, codes) if c == 200]
+    return {
+        "concurrency": concurrency,
+        "requests": n_requests,
+        "ok": sum(1 for c in codes if c == 200),
+        "shed_503": sum(1 for c in codes if c == 503),
+        "wall_s": round(wall, 3),
+        "img_per_sec": round(sum(1 for c in codes if c == 200) / wall, 2),
+        "p50_ms": round(_percentile(ok, 50) * 1e3, 1),
+        "p99_ms": round(_percentile(ok, 99) * 1e3, 1),
+    }
+
+
+def _start_server(artifact: str, max_batch: int, port: int, max_queue: int):
+    from seghiero_tpu.serve.server import ServingModel, make_server
+
+    model = ServingModel(artifact)
+    model.warmup(max_batch)
+    server = make_server(
+        model, host="127.0.0.1", port=port, max_batch=max_batch,
+        batch_timeout_ms=3.0, max_queue=max_queue,
+    )
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, model
+
+
+def run_sweep(artifact: str, max_batch: int, concurrencies, n_requests: int,
+              max_queue: int = 0):
+    server, model = _start_server(artifact, max_batch, 0, max_queue)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    rows = []
+    try:
+        for c in concurrencies:
+            _drive(url, model.input_hw, c, max(8, c))  # per-point warmup
+            row = _drive(url, model.input_hw, c, n_requests)
+            row["max_batch"] = max_batch
+            row["batch_sizes"] = server.batcher.stats["batch_sizes"]
+            rows.append(row)
+            print(json.dumps(row))
+    finally:
+        server.batcher.stop()
+        server.shutdown()
+        server.server_close()
+    return rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--artifact", default=None,
+                   help="exported artifact dir (infer.py --export)")
+    p.add_argument("--config", default=None,
+                   help="alternative: export on the fly from a YAML config "
+                   "(random weights unless --checkpoint)")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--concurrency", default="1,8,32")
+    p.add_argument("--requests", type=int, default=64,
+                   help="total requests per concurrency point")
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-queue", type=int, default=0,
+                   help="admission bound (default 4x max-batch); at "
+                   "concurrency >> throughput expect shed_503 > 0")
+    p.add_argument("--compare", action="store_true",
+                   help="also run the sweep at max_batch 1 (coalescing off)")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--json", default=None, help="write results to this file")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    artifact = args.artifact
+    if not artifact:
+        if not args.config:
+            p.error("one of --artifact or --config is required")
+        import tempfile
+
+        from seghiero_tpu.config import load_config
+        from seghiero_tpu.infer.export import export_predictor
+        from seghiero_tpu.infer.predictor import Predictor
+
+        cfg = load_config(args.config)
+        if args.checkpoint:
+            predictor = Predictor.from_checkpoint(cfg, args.checkpoint)
+        else:
+            # random weights: throughput/latency don't care, and it lets
+            # the bench run without a training artifact on hand
+            import jax
+            import jax.numpy as jnp
+
+            from seghiero_tpu.models.segmenter import build_model
+
+            model = build_model(cfg)
+            hw = cfg.transform.resize or (512, 512)
+            variables = model.init(
+                jax.random.key(0), jnp.zeros((1, hw[0], hw[1], 3)), train=False
+            )
+            predictor = Predictor(cfg, variables)
+        artifact = tempfile.mkdtemp(prefix="seghiero_servebench_")
+        export_predictor(predictor, artifact)
+        print(f"# exported artifact to {artifact}", file=sys.stderr)
+
+    conc = [int(c) for c in args.concurrency.split(",")]
+    results = {"micro_batching": run_sweep(
+        artifact, args.max_batch, conc, args.requests, args.max_queue
+    )}
+    if args.compare:
+        results["no_batching"] = run_sweep(
+            artifact, 1, conc, args.requests, args.max_queue
+        )
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"# wrote {args.json}", file=sys.stderr)
+    return results
+
+
+if __name__ == "__main__":
+    main()
