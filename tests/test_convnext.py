@@ -14,7 +14,6 @@ import torch
 from seghiero_tpu.models import ConvNeXtBackbone, HieroSegmenter
 from seghiero_tpu.models.convnext import VARIANTS
 
-pytestmark = pytest.mark.fast
 
 
 def test_shapes_tiny():

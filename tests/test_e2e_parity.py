@@ -39,7 +39,6 @@ from reference_oracle import (  # noqa: F401  (imports add /root/reference to pa
     RefRMIHieraTripletLoss,
 )
 
-pytestmark = pytest.mark.fast
 
 
 def _cfg(classes, fast_losses=True):

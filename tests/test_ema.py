@@ -11,7 +11,6 @@ from seghiero_tpu.train.trainer import Trainer
 from tests.test_train_e2e import tiny_config
 
 
-@pytest.mark.fast
 def test_ema_matches_manual_recurrence(classes_2level, tmp_path):
     d = 0.9
     cfg = tiny_config(
@@ -100,7 +99,6 @@ def test_ema_eval_checkpoint_and_resume_migration(classes_2level, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.fast
 def test_grad_clip_norm_bounds_update():
     """training.grad_clip_norm: the post-clip update magnitude is bounded
     by lr * clip (momentum/wd off), and a tiny gradient is untouched."""

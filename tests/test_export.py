@@ -23,7 +23,6 @@ from seghiero_tpu.infer.export import (
 from seghiero_tpu.infer.predictor import Predictor
 from seghiero_tpu.models.segmenter import build_model
 
-pytestmark = pytest.mark.fast
 
 HW = 32
 

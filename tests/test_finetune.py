@@ -22,7 +22,6 @@ def _tree(val):
     }
 
 
-@pytest.mark.fast
 def test_scale_multiplies_backbone_update_only():
     cfg = TrainingConfig.from_dict(
         {"lr": 0.1, "momentum": 0.0, "weight_decay": 0.0,
@@ -36,7 +35,6 @@ def test_scale_multiplies_backbone_update_only():
     np.testing.assert_allclose(updates["aux_head"]["w"], -0.2, rtol=1e-6)
 
 
-@pytest.mark.fast
 def test_scale_composes_with_schedule():
     cfg = TrainingConfig.from_dict(
         {"lr": 0.1, "momentum": 0.0, "weight_decay": 0.0,
@@ -50,7 +48,6 @@ def test_scale_composes_with_schedule():
     np.testing.assert_allclose(updates["head"]["w"], -0.2, rtol=1e-6)
 
 
-@pytest.mark.fast
 def test_zero_freezes_backbone():
     cfg = TrainingConfig.from_dict(
         {"lr": 0.1, "backbone_lr_scale": 0.0, "weight_decay": 1e-2}
@@ -63,7 +60,6 @@ def test_zero_freezes_backbone():
     assert float(jnp.abs(updates["head"]["w"]).sum()) > 0
 
 
-@pytest.mark.fast
 def test_validation():
     with pytest.raises(ValueError, match="backbone_lr_scale"):
         TrainingConfig.from_dict({"backbone_lr_scale": -0.5})

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from seghiero_tpu.config import SegHieroConfig
 from seghiero_tpu.parallel.mesh import DATA_AXIS, fsdp_state_sharding, make_mesh
 
-pytestmark = pytest.mark.fast
 
 
 def _cfg(**training_extra):

@@ -14,7 +14,6 @@ import torch
 from seghiero_tpu.models import HieroSegmenter, HRNetBackbone
 from seghiero_tpu.models.hrnet import VARIANTS, upsample_nearest
 
-pytestmark = pytest.mark.fast
 
 
 def test_shapes_w18_small():

@@ -26,7 +26,6 @@ def _classes_150():
     }
 
 
-@pytest.mark.fast
 def test_lut_lookup_gather_path_matches_unrolled(rng):
     import jax.numpy as jnp
 
@@ -46,7 +45,6 @@ def test_lut_lookup_gather_path_matches_unrolled(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-@pytest.mark.fast
 def test_expand_channels_gather_path_matches_concat(rng):
     import jax.numpy as jnp
 

@@ -16,7 +16,6 @@ from seghiero_tpu.models.mit import VARIANTS
 
 
 
-@pytest.mark.fast
 def test_shapes_b0():
     bb = MiTBackbone(variant="b0")
     x = jnp.zeros((1, 64, 64, 3))
@@ -29,7 +28,6 @@ def test_shapes_b0():
     assert "batch_stats" not in vars_  # LayerNorm-only backbone
 
 
-@pytest.mark.fast
 def test_bad_variant_raises():
     bb = MiTBackbone(variant="nope")
     with pytest.raises(ValueError, match="variant"):
@@ -44,7 +42,6 @@ def tiny_variant():
     del VARIANTS["tiny"]
 
 
-@pytest.mark.fast
 def test_segmenter_integration_mlp_head(tiny_variant):
     m = HieroSegmenter(
         num_classes=13,
@@ -92,7 +89,6 @@ def _hf_model(tiny_variant):
     return SegformerModel(cfg).eval()
 
 
-@pytest.mark.fast
 def test_hf_import_parity(rng, tiny_variant):
     from seghiero_tpu.models.torch_convert import import_mit_backbone
 
@@ -120,7 +116,6 @@ def test_hf_import_parity(rng, tiny_variant):
         )
 
 
-@pytest.mark.fast
 def test_official_layout_import_matches_hf(tiny_variant):
     """The official NVlabs layout (fused attn.kv) must produce the same
     parameter tree as the HF layout (split query/key/value)."""

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from seghiero_tpu.losses.ohem import ohem_pixel_weight
 
-pytestmark = pytest.mark.fast
 
 
 def oracle_weight(p_true, valid, thresh, batch_kept):

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from seghiero_tpu.config import SegHieroConfig
 from seghiero_tpu.train.trainer import Trainer
 
-pytestmark = pytest.mark.fast
 
 
 def _cfg(remat, backbone="resnet"):

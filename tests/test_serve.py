@@ -27,7 +27,6 @@ from seghiero_tpu.infer.predictor import Predictor
 from seghiero_tpu.models.segmenter import build_model
 from seghiero_tpu.serve import MicroBatcher, ServingModel, make_server
 
-pytestmark = pytest.mark.fast
 
 HW = 32
 

@@ -44,7 +44,6 @@ def _l2(tree_a, tree_b):
     )
 
 
-@pytest.mark.fast
 def test_superstep_matches_sequential(classes_2level, tmp_path):
     import jax.numpy as jnp
 
@@ -118,7 +117,6 @@ def test_superstep_matches_sequential(classes_2level, tmp_path):
     assert _l2(s3.params, t3.state.params) > 0.0
 
 
-@pytest.mark.fast
 def test_fit_with_steps_per_dispatch_and_tail(classes_2level, tmp_path):
     # 5 batches/epoch with K=2 → two supersteps + a 1-step tail group
     cfg = tiny_config(

@@ -30,7 +30,6 @@ def tiny_variant():
     del VARIANTS["tiny_test"]
 
 
-@pytest.mark.fast
 def test_window_roundtrip(rng):
     x = jnp.asarray(rng.standard_normal((2, 8, 12, 5)).astype(np.float32))
     w = 4
@@ -38,7 +37,6 @@ def test_window_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
-@pytest.mark.fast
 def test_relative_position_index_properties():
     idx = relative_position_index(3)
     assert idx.shape == (9, 9)
@@ -47,7 +45,6 @@ def test_relative_position_index_properties():
     assert (np.diag(idx) == idx[0, 0]).all()
 
 
-@pytest.mark.fast
 def test_shift_mask_blocks_cross_region():
     m = shift_attn_mask(8, 8, 4, 2)
     assert m.shape == (4, 16, 16)
@@ -57,7 +54,6 @@ def test_shift_mask_blocks_cross_region():
     assert (m[-1] == -100).any()
 
 
-@pytest.mark.fast
 def test_shapes_and_window_adjustment(tiny_variant):
     bb = SwinBackbone(variant=tiny_variant, window=4)
     x = jnp.zeros((1, 128, 128, 3))
@@ -70,7 +66,6 @@ def test_shapes_and_window_adjustment(tiny_variant):
     assert "batch_stats" not in vars_
 
 
-@pytest.mark.fast
 def test_map_smaller_than_window_pads(tiny_variant):
     """Maps below the window are padded up to it (always-partition
     semantics, like HF SwinBackbone with always_partition=True)."""
@@ -81,14 +76,12 @@ def test_map_smaller_than_window_pads(tiny_variant):
     assert c4.shape == (1, 2, 2, 64)  # stride-32 map 2×2 < window 4
 
 
-@pytest.mark.fast
 def test_bad_variant_raises():
     bb = SwinBackbone(variant="nope")
     with pytest.raises(ValueError, match="variant"):
         bb.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
 
 
-@pytest.mark.fast
 def test_segmenter_integration_via_registry(tiny_variant):
     m = HieroSegmenter(
         num_classes=13,
@@ -142,7 +135,6 @@ def _hf_model(tiny_variant):
     return m
 
 
-@pytest.mark.fast
 def test_hf_import_parity(rng, tiny_variant):
     from seghiero_tpu.models.torch_convert import import_swin_backbone
 
@@ -167,7 +159,6 @@ def test_hf_import_parity(rng, tiny_variant):
         )
 
 
-@pytest.mark.fast
 def test_official_layout_import_matches_hf(tiny_variant):
     """The official microsoft layout (fused attn.qkv, per-stage norms
     absent) must produce the same tree modulo identity out-norms."""

@@ -18,7 +18,6 @@ from seghiero_tpu.config import SegHieroConfig
 from seghiero_tpu.parallel.mesh import MODEL_AXIS, make_mesh
 from seghiero_tpu.parallel.tensor import tp_spec, tp_state_sharding
 
-pytestmark = pytest.mark.fast
 
 
 @pytest.fixture(scope="module")

@@ -10,7 +10,6 @@ import pytest
 
 from seghiero_tpu.models import HieroSegmenter, UNetBackbone
 
-pytestmark = pytest.mark.fast
 
 
 def test_shapes_and_widths():

@@ -23,7 +23,6 @@ def tiny_variant():
     del VARIANTS["tiny_test"]
 
 
-@pytest.mark.fast
 def test_pos_embed_interpolation_identity_and_resize(rng):
     pos = jnp.asarray(rng.standard_normal((1, 1 + 16, 8)).astype(np.float32))
     same = interpolate_pos_embed(pos, (4, 4), (4, 4))
@@ -34,7 +33,6 @@ def test_pos_embed_interpolation_identity_and_resize(rng):
     np.testing.assert_array_equal(np.asarray(up[:, 0]), np.asarray(pos[:, 0]))
 
 
-@pytest.mark.fast
 def test_shapes_nonsquare_and_channel_contract(tiny_variant):
     bb = ViTBackbone(variant=tiny_variant, patch=16, pos_grid=4)
     x = jnp.zeros((2, 64, 96, 3))
@@ -48,14 +46,12 @@ def test_shapes_nonsquare_and_channel_contract(tiny_variant):
     assert "batch_stats" not in vars_
 
 
-@pytest.mark.fast
 def test_indivisible_input_raises(tiny_variant):
     bb = ViTBackbone(variant=tiny_variant, patch=16)
     with pytest.raises(ValueError, match="divisible"):
         bb.init(jax.random.key(0), jnp.zeros((1, 60, 64, 3)), train=False)
 
 
-@pytest.mark.fast
 def test_register_tokens_and_layer_scale(tiny_variant):
     bb = ViTBackbone(
         variant=tiny_variant,
@@ -73,7 +69,6 @@ def test_register_tokens_and_layer_scale(tiny_variant):
     assert c3.shape == (1, 4, 4, 32)
 
 
-@pytest.mark.fast
 def test_segmenter_integration_upernet(tiny_variant):
     m = HieroSegmenter(
         num_classes=13,
@@ -185,7 +180,6 @@ def test_parity_vs_hf_dinov2(tiny_variant, rng):
     np.testing.assert_allclose(np.asarray(c3), ref_map, rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.fast
 def test_import_timm_layout_matches_hf_layout(tiny_variant):
     """The fused-qkv (timm) import branch must agree with the split-q/k/v
     (HF) branch on the same underlying weights."""
@@ -254,14 +248,12 @@ def test_import_timm_layout_matches_hf_layout(tiny_variant):
         np.testing.assert_array_equal(leaf, flat_timm[path])
 
 
-@pytest.mark.fast
 def test_import_rejects_wrong_variant_and_layout(tiny_variant):
     with pytest.raises(ValueError, match="unknown vit variant"):
         import_vit_backbone({}, "nope")
     with pytest.raises(ValueError, match="unrecognized ViT"):
         import_vit_backbone({"foo.bar": np.zeros(2)}, tiny_variant)
 
-@pytest.mark.fast
 def test_pos_embed_interpolation_matches_torch_bicubic(rng):
     """timm/DINOv2/HF interpolate position tables with
     F.interpolate(mode='bicubic', antialias=False); ours must match so a
@@ -280,7 +272,6 @@ def test_pos_embed_interpolation_matches_torch_bicubic(rng):
     np.testing.assert_allclose(np.asarray(ours[:, 1:]), ref, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.fast
 def test_import_pos_grid_mismatch_raises(tiny_variant):
     from transformers import ViTConfig, ViTModel
 
@@ -296,7 +287,6 @@ def test_import_pos_grid_mismatch_raises(tiny_variant):
         import_vit_backbone(sd, tiny_variant, pos_grid=14)
 
 
-@pytest.mark.fast
 def test_vit_merge_cross_check():
     """Importing DINOv2 weights into a backbone configured without
     LayerScale/registers must raise (flax would silently drop the
