@@ -50,6 +50,32 @@ BENCH_CONFIGS = {
 }
 
 
+def make_classes(n_fine: int, group: int = 5, levels: int = 2) -> dict:
+    """A generated N-fine-class hierarchy (ADE20K-scale benching): fine
+    classes in contiguous groups of ``group`` per coarse class. Above
+    ``losses.hiera.LUT_UNROLL_MAX`` (64) the target-LUT path statically
+    switches from the unrolled compare-select chain to a gather — the
+    crossover this exists to measure (round-2 verdict ask #6)."""
+    n_coarse = -(-n_fine // group)
+    # map entries are [lbl] or [start, end] INCLUSIVE ranges (the
+    # reference's hierarchy-table format, seghiero_tpu.config)
+    c2f = [[i * group, min((i + 1) * group, n_fine) - 1]
+           for i in range(n_coarse)]
+    classes = {
+        "coarse_to_fine_map": c2f,
+        "coarse_names": {i: f"c{i}" for i in range(n_coarse)},
+        "fine_names": {i: f"f{i}" for i in range(n_fine)},
+    }
+    if levels == 3:
+        n_super = -(-n_coarse // group)
+        classes["super_coarse_to_coarse_map"] = [
+            [i * group, min((i + 1) * group, n_coarse) - 1]
+            for i in range(n_super)
+        ]
+        classes["super_coarse_names"] = {i: f"s{i}" for i in range(n_super)}
+    return classes
+
+
 def build(
     cfg_id: int,
     steps: int,
@@ -62,6 +88,7 @@ def build(
     remat: bool = False,
     depthwise_backend: str = "xla",
     batch_override: int = None,
+    fine_classes: int = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -72,7 +99,10 @@ def build(
     spec = BENCH_CONFIGS[cfg_id]
     n_dev = len(jax.devices()) if spec.get("all_devices") else 1
     batch = (batch_override or spec["batch"]) * n_dev
-    classes = CLASSES_3L if spec["levels"] == 3 else CLASSES_2L
+    if fine_classes:
+        classes = make_classes(fine_classes, levels=spec["levels"])
+    else:
+        classes = CLASSES_3L if spec["levels"] == 3 else CLASSES_2L
     cfg = SegHieroConfig.from_dict(
         {
             "dataset": {"kind": "synthetic", "synthetic_size": batch},
@@ -303,6 +333,15 @@ def main():
         "scaling runs; the BASELINE configs pin their own)",
     )
     p.add_argument(
+        "--fine-classes",
+        type=int,
+        default=None,
+        help="replace the config's class hierarchy with a generated "
+        "N-fine-class one (groups of 5 per coarse class) — ADE20K-scale "
+        "(150) engages the gather target-LUT path statically "
+        "(losses/hiera.py LUT_UNROLL_MAX)",
+    )
+    p.add_argument(
         "--depthwise-backend",
         type=str,
         default="xla",
@@ -390,6 +429,7 @@ def main():
                 remat=use_remat,
                 depthwise_backend=args.depthwise_backend,
                 batch_override=batch_override or args.batch,
+                fine_classes=args.fine_classes,
             )
             n_chips = trainer.mesh.devices.size
             if spec["mode"] == "train":
