@@ -89,6 +89,7 @@ def build(
     depthwise_backend: str = "xla",
     batch_override: int = None,
     fine_classes: int = None,
+    compiler_options: dict = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -128,6 +129,11 @@ def build(
                 "mesh": {"data": n_dev},
                 "rmi_precision": rmi_precision,
                 "steps_per_dispatch": steps_per_dispatch,
+                **(
+                    {"compiler_options": compiler_options}
+                    if compiler_options
+                    else {}
+                ),
             },
             "transform": {"resize": [spec["hw"], spec["hw"]], "hflip_prob": 0.5},
             "output": {"checkpoint_dir": "/tmp/bench_ckpt", "project_name": "bench"},
@@ -280,6 +286,17 @@ def run_infer_bench(trainer, batch, steps: int, spd: int = 1):
     return dt, 0.0, calls * per_call
 
 
+def parse_compiler_options(spec: str):
+    """'k=v,k2=v2' -> dict; bare keys default to 'true'."""
+    if not spec:
+        return None
+    out = {}
+    for item in spec.split(","):
+        k, _, v = item.strip().partition("=")
+        out[k] = v if v else "true"
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument(
@@ -357,6 +374,16 @@ def main():
         "train configs — measures the throughput cost of the memory win",
     )
     p.add_argument(
+        "--compiler-options",
+        type=str,
+        default=None,
+        help="comma-separated XLA option overrides for the jitted step, "
+        "e.g. xla_tpu_scoped_vmem_limit_kib=65536,"
+        "xla_tpu_enable_latency_hiding_scheduler=true — passed through "
+        "training.compiler_options (PJRT compile-call overrides; local "
+        "XLA_FLAGS cannot carry tpu-only flags on this relay runtime)",
+    )
+    p.add_argument(
         "--dry-run", action="store_true", help="tiny shapes, CPU smoke run"
     )
     p.add_argument(
@@ -430,6 +457,7 @@ def main():
                 depthwise_backend=args.depthwise_backend,
                 batch_override=batch_override or args.batch,
                 fine_classes=args.fine_classes,
+                compiler_options=parse_compiler_options(args.compiler_options),
             )
             n_chips = trainer.mesh.devices.size
             if spec["mode"] == "train":

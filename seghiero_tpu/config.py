@@ -305,6 +305,15 @@ class TrainingConfig:
     # donate the train state's buffers to the step (saves one params+opt
     # HBM copy per step; verified safe on CPU and TPU)
     donate_state: bool = True
+    # per-program XLA compiler option overrides for the jitted train/eval
+    # steps, e.g. {"xla_tpu_scoped_vmem_limit_kib": "65536"}. This is THE
+    # way to tune TPU compiler knobs on remote-dispatch runtimes: the
+    # options travel with the PJRT compile call to the server-side XLA,
+    # whereas XLA_FLAGS is parsed by the LOCAL jaxlib, which fatally
+    # rejects unknown (tpu-only) flags. Swept on-chip by
+    # tools/xla_sweep.py; measured results in docs/DESIGN.md. None = XLA
+    # defaults (every measured combo so far is recorded there).
+    compiler_options: Optional[Dict[str, Any]] = None
     # fold K optimizer steps into ONE jitted dispatch (a lax.scan over K
     # stacked batches, train/trainer.py). Amortizes the per-dispatch host
     # round-trip — the dominant cost for small fast steps on remote-
@@ -398,6 +407,14 @@ class TrainingConfig:
             raise ValueError("ema_decay must be in [0, 1)")
         if out.tensor_shards < 1:
             raise ValueError("tensor_shards must be >= 1")
+        if out.compiler_options is not None and (
+            not isinstance(out.compiler_options, dict)
+            or not all(isinstance(k, str) for k in out.compiler_options)
+        ):
+            raise ValueError(
+                "compiler_options must be a mapping of XLA option name "
+                "-> value, e.g. {xla_tpu_scoped_vmem_limit_kib: '65536'}"
+            )
         if out.tensor_shards > 1 and out.parallel_mode != "pjit":
             raise ValueError(
                 "tensor_shards > 1 requires parallel_mode: pjit (weight "

@@ -238,11 +238,16 @@ class Trainer(FitLoopMixin):
             )
         else:
             raw_step = make_train_step(self.model, self.composite, self.cfg, self.tx)
+        # per-program XLA option overrides (training.compiler_options):
+        # ride the PJRT compile call, so they work through remote-dispatch
+        # runtimes where local XLA_FLAGS cannot carry tpu-only flags
+        copts = cfg.training.compiler_options or None
         self._train_step = jax.jit(
             raw_step,
             in_shardings=(state_sh, bshard, None),
             out_shardings=(state_sh, rep),
             donate_argnums=donate,
+            compiler_options=copts,
         )
         if cfg.training.steps_per_dispatch > 1:
             # K steps per XLA dispatch: lax.scan the step over a [K, B, ...]
@@ -272,6 +277,7 @@ class Trainer(FitLoopMixin):
                 in_shardings=(state_sh, sbshard, None),
                 out_shardings=(state_sh, rep),
                 donate_argnums=donate,
+                compiler_options=copts,
             )
             # one jitted stack per dispatch (device-side; K eager stacks
             # would each cost their own dispatch round-trip)
@@ -283,6 +289,7 @@ class Trainer(FitLoopMixin):
             make_eval_step(self.model, self.composite, self.cfg),
             in_shardings=(state_sh, bshard),
             out_shardings=rep,
+            compiler_options=copts,
         )
 
     # ------------------------------------------------------------------

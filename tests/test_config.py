@@ -112,3 +112,24 @@ def test_rmi_pool_mismatch_raises(classes_2level):
 def test_unknown_section_warns(classes_2level):
     with pytest.warns(UserWarning, match="unknown config sections"):
         SegHieroConfig.from_dict({"classes": classes_2level, "bogus": {}})
+
+
+def test_compiler_options_validation(classes_2level):
+    cfg = SegHieroConfig.from_dict(
+        {
+            "classes": classes_2level,
+            "training": {
+                "compiler_options": {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+            },
+        }
+    )
+    assert cfg.training.compiler_options == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536"
+    }
+    with pytest.raises(ValueError, match="compiler_options"):
+        SegHieroConfig.from_dict(
+            {
+                "classes": classes_2level,
+                "training": {"compiler_options": "not-a-mapping"},
+            }
+        )

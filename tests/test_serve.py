@@ -14,6 +14,7 @@ script); this subsystem is a TPU-production extension.
 
 import io
 import json
+import os
 import threading
 import urllib.request
 
@@ -32,8 +33,8 @@ HW = 32
 
 
 @pytest.fixture(scope="module")
-def served(classes_2level_mod, tmp_path_factory):
-    """(server base-url, predictor, ServingModel) over a tiny artifact."""
+def artifact(classes_2level_mod, tmp_path_factory):
+    """(exported artifact dir, Predictor) for a tiny CPU model."""
     tmp_path = tmp_path_factory.mktemp("serve")
     cfg = SegHieroConfig.from_dict(
         {
@@ -58,7 +59,13 @@ def served(classes_2level_mod, tmp_path_factory):
     pred = Predictor(cfg, variables)
     art = str(tmp_path / "artifact")
     export_predictor(pred, art, platforms=("cpu",))
+    return art, pred
 
+
+@pytest.fixture(scope="module")
+def served(artifact):
+    """(server base-url, predictor, ServingModel) over the tiny artifact."""
+    art, pred = artifact
     sm = ServingModel(art)
     server = make_server(sm, host="127.0.0.1", port=0, max_batch=4,
                          batch_timeout_ms=30.0)
@@ -216,6 +223,29 @@ def test_serving_model_batch_beyond_max(served):
     want = pred.predict_array(imgs)
     for lvl in ("fine", "coarse"):
         np.testing.assert_array_equal(out[lvl], want[lvl])
+
+
+def test_serve_bench_load_sweep(artifact):
+    """tools/serve_bench.py's sweep machinery stays runnable: one
+    concurrency point over the tiny artifact on CPU, contract asserted
+    (every request accounted for as 200 or 503, sane latency fields).
+    The on-chip numbers live in docs/DESIGN.md "Serving"."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from tools.serve_bench import run_sweep
+
+    art, _ = artifact
+    rows = run_sweep(art, max_batch=4, concurrencies=[4], n_requests=12)
+    (row,) = rows
+    assert row["ok"] + row["shed_503"] == row["requests"] == 12
+    assert row["ok"] >= 1
+    assert row["p50_ms"] > 0 and row["img_per_sec"] > 0
+    assert row["max_batch"] == 4
+    # realized batch histogram came from the live server
+    assert sum(int(k) * v for k, v in row["batch_sizes"].items()) >= row["ok"]
 
 
 class _SlowFakeModel:

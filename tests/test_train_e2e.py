@@ -150,3 +150,26 @@ def test_restore_best_falls_back_on_orphaned_pointer(classes_2level, tmp_path):
     assert restored is not None
     _, meta = restored
     assert meta["step"] == committed[-1]
+
+
+def test_compiler_options_reach_the_compiler(classes_2level, tmp_path):
+    """training.compiler_options must ride the jit compile call: a
+    generic option compiles and trains; a bogus option surfaces as a
+    compile-time error (proof of pass-through, not a silent no-op)."""
+    cfg = tiny_config(
+        classes_2level, tmp_path, size=2,
+        extra_training={
+            "compiler_options": {"xla_backend_optimization_level": "1"}
+        },
+    )
+    history = Trainer(cfg, verbose=False).fit()
+    assert np.isfinite(history[0]["train_loss"])
+
+    bogus = tiny_config(
+        classes_2level, tmp_path, size=2,
+        extra_training={
+            "compiler_options": {"xla_definitely_not_an_option": "1"}
+        },
+    )
+    with pytest.raises(Exception, match="(?i)no such compile option|unknown"):
+        Trainer(bogus, verbose=False).fit()
