@@ -90,6 +90,7 @@ def build(
     batch_override: int = None,
     fine_classes: int = None,
     compiler_options: dict = None,
+    pallas_fused_loss: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -134,6 +135,7 @@ def build(
                     if compiler_options
                     else {}
                 ),
+                **({"pallas_fused_loss": True} if pallas_fused_loss else {}),
             },
             "transform": {"resize": [spec["hw"], spec["hw"]], "hflip_prob": 0.5},
             "output": {"checkpoint_dir": "/tmp/bench_ckpt", "project_name": "bench"},
@@ -384,6 +386,13 @@ def main():
         "XLA_FLAGS cannot carry tpu-only flags on this relay runtime)",
     )
     p.add_argument(
+        "--pallas-fused-loss",
+        action="store_true",
+        help="training.pallas_fused_loss — the fused upsample+BCE+CE "
+        "kernel (ops/pallas/hiera2_fused.py). Loses to XLA at C~13 "
+        "(DESIGN.md); flag kept for many-class re-measurement",
+    )
+    p.add_argument(
         "--dry-run", action="store_true", help="tiny shapes, CPU smoke run"
     )
     p.add_argument(
@@ -458,6 +467,7 @@ def main():
                 batch_override=batch_override or args.batch,
                 fine_classes=args.fine_classes,
                 compiler_options=parse_compiler_options(args.compiler_options),
+                pallas_fused_loss=args.pallas_fused_loss,
             )
             n_chips = trainer.mesh.devices.size
             if spec["mode"] == "train":
@@ -544,6 +554,11 @@ def main():
 
     headline_id = "2" if "2" in results else str(cfg_ids[0])
     headline = results[headline_id]
+    if "images_per_sec_per_chip" not in headline:
+        print(json.dumps({"metric": "bench_error", "value": 0,
+                          "unit": "images/sec/chip", "vs_baseline": 0,
+                          "details": results}))
+        sys.exit(1)
     value = headline["images_per_sec_per_chip"]
     spec = BENCH_CONFIGS[int(headline_id)]
     name = (
