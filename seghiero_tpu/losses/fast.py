@@ -51,9 +51,26 @@ def _class_iota(n: int) -> jax.Array:
     return jnp.arange(n)[None, :, None, None]
 
 
+def _pick_channel(x, t_safe):
+    """``x[b, t[b,h,w], h, w]`` as a fused broadcast-compare reduction.
+
+    Full-res gathers are ~10× slower than compare-select on TPU (see
+    lut_lookup); the masked sum reads ``x`` once and its backward is a
+    masked broadcast write — no scatter. ``t_safe`` must be in
+    ``[0, x.shape[1])`` (callers pass 0 for ignore pixels and mask the
+    result downstream, so the picked value there is irrelevant)."""
+    n = x.shape[1]
+    return jnp.sum(
+        jnp.where(t_safe[:, None] == _class_iota(n), x, 0.0), axis=1
+    )
+
+
 def _masked_level_bce(pos_l, neg_l, targets, n, ignore_index, eps):
     """Σ_valid(-oh·log σ(pos) − (1−oh)·log(1−σ(neg))) / (n_valid · n),
-    with the one-hot as a fused broadcast-compare on the C axis."""
+    with the one-hot as a fused broadcast-compare on the C axis.
+    ``pos_l`` full-width; kept for callers that already materialize the
+    positive composite (focal path). The BCE levels use the picked form
+    below."""
     valid = (targets != ignore_index)[:, None]  # [B,1,H,W]
     safe = jnp.where(valid[:, 0], targets, 0)[:, None]  # [B,1,H,W]
     oh = safe == _class_iota(n)  # [B,n,H,W] bool, fused
@@ -62,16 +79,40 @@ def _masked_level_bce(pos_l, neg_l, targets, n, ignore_index, eps):
     return jnp.sum(jnp.where(valid, -term, 0.0)) / (nv * n)
 
 
-def _ce_cmajor(logits, targets, ignore_index, divide_by="all", ohem=None):
-    """Softmax CE on [B, C, H, W] logits; label pick via broadcast-compare
-    (full-res gathers are ~10× slower than compare-select on TPU).
-    ``ohem``: optional ``(thresh, batch_kept)`` hard-pixel mining
-    (losses/ohem.py) — the keep-mask multiplies the per-pixel loss."""
-    n = logits.shape[1]
-    logp = jax.nn.log_softmax(logits, axis=1)
+def _masked_level_bce_pick(pos_at_lbl, neg_l, targets, n, ignore_index, eps):
+    """Same sum as ``_masked_level_bce`` with the positive side already
+    picked at the label channel: per valid pixel the C-sum collapses to
+    ``log σ(pos)[lbl] + Σ_c log(1−σ(neg_c)) − log(1−σ(neg))[lbl]``.
+
+    Why: only ONE positive channel per pixel is ever consumed, so
+    materializing the [B, n, H, W] positive composite (min-composed
+    ancestor chain) and evaluating log σ at all n channels is pure HBM
+    traffic that grows with n — 38 ms/step of the 150-class 512²·b8
+    train step (v5e profile). Here the full-width work is a single
+    fused reduction over ``neg_l``; everything else is [B, H, W]."""
     valid = targets != ignore_index
-    safe = jnp.where(valid, targets, 0)[:, None]
-    pick = jnp.sum(jnp.where(safe == _class_iota(n), logp, 0.0), axis=1)
+    safe = jnp.where(valid, targets, 0)
+    nv = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    # both reductions read neg_l once (multi-output fusion)
+    neg_sum = jnp.sum(_log_one_minus_sig_eps(neg_l, eps), axis=1)
+    neg_lbl = _log_one_minus_sig_eps(_pick_channel(neg_l, safe), eps)
+    pos_lbl = _log_sig_eps(pos_at_lbl, eps)
+    per_px = pos_lbl + neg_sum - neg_lbl
+    return jnp.sum(jnp.where(valid, -per_px, 0.0)) / (nv * n)
+
+
+def _ce_cmajor(logits, targets, ignore_index, divide_by="all", ohem=None):
+    """Softmax CE on [B, C, H, W] logits as ``logsumexp − logit[label]``
+    — two fused reductions over the logits; neither the full-width
+    log-softmax nor the picked copy is ever materialized (the label pick
+    is a broadcast-compare reduction; full-res gathers are ~10× slower
+    on TPU). ``ohem``: optional ``(thresh, batch_kept)`` hard-pixel
+    mining (losses/ohem.py) — the keep-mask multiplies the per-pixel
+    loss."""
+    valid = targets != ignore_index
+    safe = jnp.where(valid, targets, 0)
+    lse = jax.scipy.special.logsumexp(logits, axis=1)
+    pick = _pick_channel(logits, safe) - lse  # == log_softmax[label]
     nll = jnp.where(valid, -pick, 0.0)
     if ohem is not None:
         from seghiero_tpu.losses.ohem import ohem_pixel_weight
@@ -103,6 +144,24 @@ def _expand_channels(x, idx):
 
 
 def _bucket_max_cmajor(child_l, buckets, own_l):
+    # equal-size contiguous buckets (generated N-class hierarchies,
+    # regular taxonomies): one reshape-max instead of per-bucket
+    # slice+max — a single fused pass, and the backward is one fused
+    # compare instead of n_bucket masked slice-grads (the slice chain
+    # profiled at 24 ms/step across 199 ops at 150 classes, v5e)
+    sizes = [len(ids) for ids in buckets]
+    flat = [c for ids in buckets for c in ids]
+    if (
+        sizes
+        and min(sizes) == max(sizes) > 0
+        and flat == list(range(len(flat)))
+        and child_l.shape[1] == len(flat)
+    ):
+        B, C, H, W = child_l.shape
+        g = jnp.max(
+            child_l.reshape(B, len(buckets), sizes[0], H, W), axis=2
+        )
+        return jnp.maximum(g, own_l)
     cols = []
     for i, ids in enumerate(buckets):
         o = own_l[:, i]
@@ -144,13 +203,23 @@ def hiera_focal_two_level_cmajor(
 
 
 def hiera_bce_two_level_cmajor(lf, t_fine, t_coarse, h: Hierarchy, eps=1e-8):
-    """losses/hiera.py:hiera_bce_two_level in [B, C, H, W]."""
+    """losses/hiera.py:hiera_bce_two_level in [B, C, H, W].
+
+    The min-composed positive chains (MCLA) are evaluated only at the
+    label channel (``_masked_level_bce_pick``): mcla[lbl] =
+    min(la[lbl], lb[coarse(lbl)]), and for valid pixels coarse(lbl) is
+    exactly ``t_coarse`` (prepare_targets_two_level); ignore pixels pick
+    channel 0 and are masked out of the sum, so the full-width
+    [B, n_fine, H, W] MCLA tensor is never built."""
     nf, nc = h.n_fine, h.n_coarse
     la, lb = lf[:, :nf], lf[:, nf : nf + nc]
     mcmb = _bucket_max_cmajor(la, h.fine_by_coarse, lb)
-    mcla = jnp.minimum(la, _expand_channels(lb, h.fine_to_coarse))
-    loss_f = _masked_level_bce(mcla, la, t_fine, nf, h.ignore_index, eps)
-    loss_c = _masked_level_bce(lb, mcmb, t_coarse, nc, h.ignore_index, eps)
+    sf = jnp.where(t_fine != h.ignore_index, t_fine, 0)
+    sc = jnp.where(t_coarse != h.ignore_index, t_coarse, 0)
+    lb_lbl = _pick_channel(lb, sc)
+    pos_f = jnp.minimum(_pick_channel(la, sf), lb_lbl)
+    loss_f = _masked_level_bce_pick(pos_f, la, t_fine, nf, h.ignore_index, eps)
+    loss_c = _masked_level_bce_pick(lb_lbl, mcmb, t_coarse, nc, h.ignore_index, eps)
     return 5.0 * (loss_f + loss_c)
 
 
@@ -175,18 +244,33 @@ def hiera_focal_three_level_cmajor(
 
 
 def hiera_bce_three_level_cmajor(lf, t_f, t_m, t_h, h: Hierarchy, clip_min=_CLIP_MIN):
-    """losses/hiera.py:hiera_bce_three_level in [B, C, H, W]."""
+    """losses/hiera.py:hiera_bce_three_level in [B, C, H, W].
+
+    Positive min-chains evaluated at the label channel only (see the
+    2-level docstring). The mid pick composes ``coarse_to_super`` from
+    the *mid* label (matching the parity path's MCLB — correct even
+    when ``fine_to_super`` is the reference's non-composed bug-replica
+    map, where lut(fine_to_super, f) ≠ coarse_to_super[mid])."""
     nf, nm, nh = h.n_fine, h.n_coarse, h.n_super
     la = lf[:, :nf]
     lb = lf[:, nf : nf + nm]
     lc = lf[:, nf + nm : nf + nm + nh]
     mcmb_c = _bucket_max_cmajor(la, h.fine_by_coarse, lb)
     mcmc_c = _bucket_max_cmajor(mcmb_c, h.coarse_by_super, lc)
-    mcla = jnp.minimum(la, _expand_channels(lb, h.fine_to_coarse))
-    mclb_c = jnp.minimum(lb, _expand_channels(lc, h.coarse_to_super))
-    loss_f = _masked_level_bce(mcla, la, t_f, nf, h.ignore_index, clip_min)
-    loss_m = _masked_level_bce(mclb_c, mcmb_c, t_m, nm, h.ignore_index, clip_min)
-    loss_h = _masked_level_bce(lc, mcmc_c, t_h, nh, h.ignore_index, clip_min)
+    from seghiero_tpu.losses.hiera import lut_lookup
+
+    sf = jnp.where(t_f != h.ignore_index, t_f, 0)
+    sm = jnp.where(t_m != h.ignore_index, t_m, 0)
+    sh = jnp.where(t_h != h.ignore_index, t_h, 0)
+    sm_super = lut_lookup(h.coarse_to_super, sm)  # n_coarse-entry unroll
+    lb_lbl = _pick_channel(lb, sm)
+    pos_f = jnp.minimum(_pick_channel(la, sf), lb_lbl)
+    pos_m = jnp.minimum(lb_lbl, _pick_channel(lc, sm_super))
+    loss_f = _masked_level_bce_pick(pos_f, la, t_f, nf, h.ignore_index, clip_min)
+    loss_m = _masked_level_bce_pick(pos_m, mcmb_c, t_m, nm, h.ignore_index, clip_min)
+    loss_h = _masked_level_bce_pick(
+        _pick_channel(lc, sh), mcmc_c, t_h, nh, h.ignore_index, clip_min
+    )
     return 5.0 * (loss_f + loss_m + loss_h)
 
 

@@ -56,13 +56,33 @@ def lut_lookup(lut, idx: jax.Array) -> jax.Array:
     compare-select chain over the (compile-time constant) table fuses
     into one elementwise pass at HBM bandwidth instead.
 
-    Tables longer than ``LUT_UNROLL_MAX`` fall back to the gather: the
-    chain's per-pixel compare count grows with the table while the
-    gather's cost is flat, so the chain loses at many-class scale
-    (and a 150-entry unroll also bloats the traced program).
+    Tables longer than ``LUT_UNROLL_MAX`` use the MONOTONE shortcut when
+    they can: hierarchy LUTs over contiguous buckets are non-decreasing,
+    so the value only changes at the bucket boundaries and
+    ``out = lut[0] + Σ_b step_b · (idx ≥ boundary_b)`` needs one fused
+    compare per *boundary* (n_buckets − 1 ≈ 14 at ADE20K scale), not per
+    table entry. Exact for any non-decreasing table incl. out-of-range
+    idx (matches the gather's index clamping for idx ≥ len). Profiled on
+    a v5e at 150 fine classes / 512²·b8: the full-res ``jnp.take`` this
+    replaces was 21.3 ms/step of the train step.
+
+    Non-monotone long tables (arbitrary user hierarchies) still take the
+    gather: per-pixel compare count would grow with the table while the
+    gather's cost is flat (and a 150-entry unroll also bloats the traced
+    program).
     """
     lut = np.asarray(lut)
     if len(lut) > LUT_UNROLL_MAX:
+        steps = np.diff(lut)
+        if len(lut) > 1 and np.all(steps >= 0) and (
+            np.count_nonzero(steps) <= LUT_UNROLL_MAX
+        ):
+            out = jnp.full(idx.shape, int(lut[0]), dtype=jnp.int32)
+            for b in np.nonzero(steps)[0]:
+                out = out + np.int32(steps[b]) * (
+                    idx >= np.int32(b + 1)
+                ).astype(jnp.int32)
+            return out
         return jnp.take(
             jnp.asarray(lut, jnp.int32), idx.astype(jnp.int32), axis=0
         )
