@@ -91,6 +91,7 @@ def build(
     fine_classes: int = None,
     compiler_options: dict = None,
     pallas_fused_loss: bool = False,
+    hiera_precision: str = "parity",
 ):
     import jax
     import jax.numpy as jnp
@@ -136,6 +137,7 @@ def build(
                     else {}
                 ),
                 **({"pallas_fused_loss": True} if pallas_fused_loss else {}),
+                "hiera_precision": hiera_precision,
             },
             "transform": {"resize": [spec["hw"], spec["hw"]], "hflip_prob": 0.5},
             "output": {"checkpoint_dir": "/tmp/bench_ckpt", "project_name": "bench"},
@@ -319,6 +321,14 @@ def main():
         help="training.rmi_precision for 3-level configs (bf16 Gram mode)",
     )
     p.add_argument(
+        "--hiera-precision",
+        type=str,
+        default="parity",
+        choices=("parity", "fast"),
+        help="training.hiera_precision — bf16 storage for the upsampled "
+        "loss-side logits (math stays f32; DESIGN.md decision 21)",
+    )
+    p.add_argument(
         "--steps-per-dispatch",
         type=int,
         default=None,
@@ -441,7 +451,8 @@ def main():
     # reuse the per-call pipeline gets for free.
     spd_default = {1: 10}
 
-    def bench_one(cid, batch_override=None, remat=None, rmi_precision=None):
+    def bench_one(cid, batch_override=None, remat=None, rmi_precision=None,
+                  hiera_precision=None):
         """One (config, operating point) measurement → result dict; OOM
         (or any build/run failure) is recorded, not fatal — the driver
         artifact must survive an over-ambitious sweep point."""
@@ -468,6 +479,7 @@ def main():
                 fine_classes=args.fine_classes,
                 compiler_options=parse_compiler_options(args.compiler_options),
                 pallas_fused_loss=args.pallas_fused_loss,
+                hiera_precision=hiera_precision or args.hiera_precision,
             )
             n_chips = trainer.mesh.devices.size
             if spec["mode"] == "train":
@@ -497,6 +509,7 @@ def main():
             + (f" b{batch_override}" if batch_override else "")
             + (" remat" if use_remat else "")
             + (f" rmi={rmi_precision}" if rmi_precision else "")
+            + (f" hiera={hiera_precision}" if hiera_precision else "")
             + f": {img_s:.2f} img/s total, "
             f"{img_s / n_chips:.2f} img/s/chip, {dt / n_steps * 1e3:.1f} ms/step",
             file=sys.stderr,
@@ -520,6 +533,10 @@ def main():
         results["rmi_fast"] = {
             str(cid): bench_one(cid, rmi_precision="fast") for cid in (3, 4)
         }
+        # hiera_precision: fast — bf16 storage for the upsampled
+        # loss-side logits (DESIGN.md decision 21), captured on the
+        # headline config
+        results["hiera_fast"] = {"2": bench_one(2, hiera_precision="fast")}
         # operating-point sweep (round-2 verdict ask #1): the headline
         # config is conv-bound at b8; img/s/chip at the best legal batch
         # is the competitive number. OOM points record an error and the

@@ -260,6 +260,13 @@ class TrainingConfig:
     # with f32 accumulators in the Pallas kernels (native single-pass
     # MXU) — faster 3-level steps at relaxed parity tolerances
     rmi_precision: str = "parity"
+    # storage precision of the full-resolution upsampled logits the
+    # hierarchy-BCE/CE terms read (fast C-major losses only): "parity"
+    # (default) keeps them f32; "fast" stores them bf16 — the loss math
+    # still runs in f32 (every consumer upcasts inside its fused read),
+    # but the materialized tensor and the bilinear upsample halve, which
+    # dominates many-class steps (see docs/DESIGN.md decision 21)
+    hiera_precision: str = "parity"
     triplet_schedule_unit: str = "step"
     # OHEM hard-pixel mining on the per-level CE terms (losses/ohem.py,
     # mmseg OHEMPixelSampler semantics rebuilt TPU-static): keep pixels
@@ -389,6 +396,18 @@ class TrainingConfig:
             raise ValueError("rmi_backend must be 'auto', 'pallas' or 'xla'")
         if out.rmi_precision not in ("parity", "fast"):
             raise ValueError("rmi_precision must be 'parity' or 'fast'")
+        if out.hiera_precision not in ("parity", "fast"):
+            raise ValueError("hiera_precision must be 'parity' or 'fast'")
+        if out.hiera_precision == "fast" and not out.fast_losses:
+            raise ValueError(
+                "hiera_precision: fast requires fast_losses: true "
+                "(the NHWC parity losses always run at parity precision)"
+            )
+        if out.hiera_precision == "fast" and out.pallas_fused_loss:
+            raise ValueError(
+                "hiera_precision: fast and pallas_fused_loss are mutually "
+                "exclusive (the fused kernel is an f32 parity kernel)"
+            )
         if out.loader not in ("thread", "grain"):
             raise ValueError("loader must be 'thread' or 'grain'")
         if out.hiera_variant not in ("bce", "focal"):

@@ -93,10 +93,13 @@ def _masked_level_bce_pick(pos_at_lbl, neg_l, targets, n, ignore_index, eps):
     valid = targets != ignore_index
     safe = jnp.where(valid, targets, 0)
     nv = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    # upcasts fuse into the reads: with hiera_precision="fast" the
+    # stored tensor is bf16 but all loss math stays f32
+    neg_l = neg_l.astype(jnp.float32)
     # both reductions read neg_l once (multi-output fusion)
     neg_sum = jnp.sum(_log_one_minus_sig_eps(neg_l, eps), axis=1)
     neg_lbl = _log_one_minus_sig_eps(_pick_channel(neg_l, safe), eps)
-    pos_lbl = _log_sig_eps(pos_at_lbl, eps)
+    pos_lbl = _log_sig_eps(pos_at_lbl.astype(jnp.float32), eps)
     per_px = pos_lbl + neg_sum - neg_lbl
     return jnp.sum(jnp.where(valid, -per_px, 0.0)) / (nv * n)
 
@@ -109,6 +112,7 @@ def _ce_cmajor(logits, targets, ignore_index, divide_by="all", ohem=None):
     on TPU). ``ohem``: optional ``(thresh, batch_kept)`` hard-pixel
     mining (losses/ohem.py) — the keep-mask multiplies the per-pixel
     loss."""
+    logits = logits.astype(jnp.float32)  # fuses into the reads (bf16 storage)
     valid = targets != ignore_index
     safe = jnp.where(valid, targets, 0)
     lse = jax.scipy.special.logsumexp(logits, axis=1)
@@ -174,6 +178,8 @@ def _bucket_max_cmajor(child_l, buckets, own_l):
 
 def _masked_level_focal(pos_l, neg_l, targets, n, ignore_index, eps, gamma):
     """Focal-modulated level term (losses/focal.py:level in C-major)."""
+    pos_l = pos_l.astype(jnp.float32)
+    neg_l = neg_l.astype(jnp.float32)
     valid = (targets != ignore_index)[:, None]
     safe = jnp.where(valid[:, 0], targets, 0)[:, None]
     oh = safe == _class_iota(n)
@@ -424,7 +430,7 @@ class FastHieraTripletLoss:
     def __init__(self, hierarchy, loss_weight=1.0, schedule_total_steps=80_000,
                  axis_name: Optional[str] = None, use_pallas: bool = False,
                  hiera_variant: str = "bce", focal_gamma: float = 2.0,
-                 ohem=None):
+                 ohem=None, hiera_precision: str = "parity"):
         self.h = hierarchy
         self.loss_weight = loss_weight
         self.schedule_total_steps = schedule_total_steps
@@ -433,17 +439,25 @@ class FastHieraTripletLoss:
         self.hiera_variant = hiera_variant
         self.focal_gamma = focal_gamma
         self.ohem = ohem  # (thresh, batch_kept) or None — losses/ohem.py
+        # "fast": store the upsampled logits bf16 (math stays f32 via
+        # fused upcasts in every consumer) — config.py hiera_precision
+        self.hiera_precision = hiera_precision
 
     def __call__(self, step, embedding, cls_score_before, cls_score, label):
         h = self.h
         out_hw = label.shape[1:3]
-        lo = jnp.transpose(cls_score.astype(jnp.float32), (0, 3, 1, 2))
+        store_dt = (
+            jnp.bfloat16 if self.hiera_precision == "fast" else jnp.float32
+        )
+        lo = jnp.transpose(cls_score.astype(store_dt), (0, 3, 1, 2))
         t_fine, t_coarse = prepare_targets_two_level(label, h)
 
         use_pallas = False
         # the fused kernel computes CE inside the kernel (no per-pixel
-        # keep-mask hook); OHEM selection forces the unfused path
-        if self.use_pallas and self.hiera_variant == "bce" and self.ohem is None:
+        # keep-mask hook); OHEM selection forces the unfused path, and
+        # the kernel is an f32 parity kernel (no bf16 storage mode)
+        if (self.use_pallas and self.hiera_variant == "bce"
+                and self.ohem is None and self.hiera_precision != "fast"):
             from seghiero_tpu.ops.pallas.hiera2_fused import (
                 fused_hiera2_available,
                 fused_hiera2_loss_sums,
@@ -495,7 +509,7 @@ class FastRMIHieraTripletLoss:
                  mesh=None, pallas_interpret: bool = False,
                  rmi_precision: str = "parity",
                  hiera_variant: str = "bce", focal_gamma: float = 2.0,
-                 ohem=None):
+                 ohem=None, hiera_precision: str = "parity"):
         self.h = hierarchy
         self.rmi_radius = rmi_radius
         self.loss_weight_lambda = loss_weight_lambda
@@ -514,6 +528,10 @@ class FastRMIHieraTripletLoss:
         self.hiera_variant = hiera_variant
         self.focal_gamma = focal_gamma
         self.ohem = ohem  # (thresh, batch_kept) or None — losses/ohem.py
+        # "fast": bf16 storage for the upsampled logits; BCE/CE math
+        # stays f32 (fused upcasts) and the RMI input probs are formed
+        # in f32 — only the materialized tensor + upsample halve
+        self.hiera_precision = hiera_precision
 
     @property
     def schedule_total_steps(self):
@@ -523,7 +541,10 @@ class FastRMIHieraTripletLoss:
         h = self.h
         nf, nm, nh_ = h.n_fine, h.n_coarse, h.n_super
         out_hw = label.shape[1:3]
-        lo = jnp.transpose(cls_score.astype(jnp.float32), (0, 3, 1, 2))
+        store_dt = (
+            jnp.bfloat16 if self.hiera_precision == "fast" else jnp.float32
+        )
+        lo = jnp.transpose(cls_score.astype(store_dt), (0, 3, 1, 2))
         lf = _resize_cmajor(lo, out_hw)
         t_f, t_m, t_h = prepare_targets_three_level(label, h)
 
@@ -535,7 +556,9 @@ class FastRMIHieraTripletLoss:
             hiera = hiera_bce_three_level_cmajor(lf, t_f, t_m, t_h, h)
 
         # RMI over concatenated per-level one-hots vs masked sigmoids
-        probs = jax.nn.sigmoid(lf)
+        # (f32 regardless of storage precision; rmi_precision governs
+        # the Gram internals separately)
+        probs = jax.nn.sigmoid(lf.astype(jnp.float32))
 
         def oh_valid(t, n):
             valid = (t != h.ignore_index)[:, None]
@@ -587,9 +610,13 @@ class FastRMIHieraTripletLoss:
         return (loss + jnp.where(ready, factor * t, 0.0)) * self.loss_weight
 
 
-def aux_ce_fast(aux_logits_nhwc, labels, ignore_index=255):
-    """Aux CE (train.py:308-313) with the upsample+CE in C-major."""
+def aux_ce_fast(aux_logits_nhwc, labels, ignore_index=255,
+                hiera_precision: str = "parity"):
+    """Aux CE (train.py:308-313) with the upsample+CE in C-major.
+    ``hiera_precision="fast"`` stores the upsampled aux logits bf16
+    (math stays f32 — _ce_cmajor upcasts inside its fused reads)."""
     out_hw = labels.shape[1:3]
-    lo = jnp.transpose(aux_logits_nhwc.astype(jnp.float32), (0, 3, 1, 2))
+    dt = jnp.bfloat16 if hiera_precision == "fast" else jnp.float32
+    lo = jnp.transpose(aux_logits_nhwc.astype(dt), (0, 3, 1, 2))
     lf = _resize_cmajor(lo, out_hw)
     return _ce_cmajor(lf, labels, ignore_index, divide_by="valid")

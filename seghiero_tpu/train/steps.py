@@ -88,6 +88,7 @@ def make_composite_loss(
                 hiera_variant=t.hiera_variant,
                 focal_gamma=t.focal_gamma,
                 ohem=ohem,
+                hiera_precision=t.hiera_precision,
             )
         return FastHieraTripletLoss(
             h,
@@ -97,6 +98,7 @@ def make_composite_loss(
             hiera_variant=t.hiera_variant,
             focal_gamma=t.focal_gamma,
             ohem=ohem,
+            hiera_precision=t.hiera_precision,
         )
     if h.has_super:
         return RMIHieraTripletLoss(
@@ -171,7 +173,10 @@ def _forward_losses(
         main_loss = composite(sched_step, out["embedding"], logits, logits, fine)
         from seghiero_tpu.losses.fast import aux_ce_fast
 
-        aux_loss = aux_ce_fast(out["aux_logits"], fine, cfg.hierarchy.ignore_index)
+        aux_loss = aux_ce_fast(
+            out["aux_logits"], fine, cfg.hierarchy.ignore_index,
+            hiera_precision=cfg.training.hiera_precision,
+        )
         logits_full = (
             resize_bilinear(logits, (H, W))
             if (need_full_logits or extra_specs)

@@ -220,6 +220,45 @@ def test_aux_ce_fast_matches_parity(rng, classes_2level):
     np.testing.assert_allclose(fast, ref, rtol=2e-5)
 
 
+def test_hiera_precision_fast_close_to_parity(rng, classes_2level):
+    """hiera_precision='fast' (bf16 storage of the upsampled logits,
+    f32 math) stays within bf16-rounding tolerance of the parity-
+    precision composite, and its gradient is finite and close."""
+    import jax
+
+    h = Hierarchy.from_class_config(classes_2level)
+    lo, emb, labels = _inputs(rng, h)
+
+    def loss_fn(lo_in, precision):
+        return FastHieraTripletLoss(h, hiera_precision=precision)(
+            jnp.array(0), emb, lo_in, lo_in, labels
+        )
+
+    ref, gref = jax.value_and_grad(lambda x: loss_fn(x, "parity"))(lo)
+    fast, gfast = jax.value_and_grad(lambda x: loss_fn(x, "fast"))(lo)
+    np.testing.assert_allclose(float(fast), float(ref), rtol=5e-3)
+    assert np.all(np.isfinite(np.asarray(gfast)))
+    # grads agree to bf16-rounding scale relative to the grad magnitude
+    scale = np.abs(np.asarray(gref)).max()
+    np.testing.assert_allclose(
+        np.asarray(gfast), np.asarray(gref), atol=5e-2 * scale
+    )
+
+
+def test_hiera_precision_fast_3level_close_to_parity(rng, classes_3level):
+    h = Hierarchy.from_class_config(classes_3level)
+    lo, emb, labels = _inputs(rng, h, H=32, W=32)
+    ref = float(
+        FastRMIHieraTripletLoss(h)(jnp.array(0), emb, lo, lo, labels)
+    )
+    fast = float(
+        FastRMIHieraTripletLoss(h, hiera_precision="fast")(
+            jnp.array(0), emb, lo, lo, labels
+        )
+    )
+    np.testing.assert_allclose(fast, ref, rtol=1e-2)
+
+
 def test_trainer_uses_fast_path_and_trains(classes_2level, tmp_path):
     from tests.test_train_e2e import tiny_config
     from seghiero_tpu.train.trainer import Trainer
