@@ -45,6 +45,23 @@ def test_lut_lookup_gather_path_matches_unrolled(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_lut_lookup_monotone_path_matches_gather(rng):
+    """The monotone bucket-boundary shortcut (long non-decreasing
+    tables, e.g. contiguous 150-class hierarchies) must equal the
+    gather exactly — including out-of-range idx, which the gather
+    clamps."""
+    import jax.numpy as jnp
+
+    from seghiero_tpu.losses import hiera
+
+    lut = np.sort(rng.integers(0, 15, 150)).astype(np.int64)
+    assert len(lut) > hiera.LUT_UNROLL_MAX
+    idx = jnp.asarray(rng.integers(0, 300, (2, 17, 33)).astype(np.int32))
+    got = np.asarray(hiera.lut_lookup(lut, idx))
+    want = np.asarray(lut, np.int32)[np.clip(np.asarray(idx), 0, 149)]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_expand_channels_gather_path_matches_concat(rng):
     import jax.numpy as jnp
 
