@@ -1,0 +1,130 @@
+"""Sorted vs mask triplet-selection equivalence.
+
+The tree-triplet losses pick the *first* ``min_size`` qualifying pixels
+per class in flat order (tree_triplet_loss.py:38-46). Two backends
+implement that selection: per-class ``top_k`` mask rows, and (for many
+classes) one stable label sort plus exact first-k merges of per-class
+lists (`losses/tree_triplet.py:_per_class_first_k` / `_merged_first_k`).
+These tests pin that both backends select the *same pixels*, hence bit-
+comparable losses, counts, and gradients — including 255-ignore pixels,
+classes with fewer pixels than ``max_triplet``, absent classes,
+singleton buckets, and one-sided groups.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from seghiero_tpu.hierarchy import Hierarchy
+from seghiero_tpu.losses.tree_triplet import (
+    tree_triplet_loss_groups,
+    tree_triplet_loss_range,
+)
+
+pytestmark = pytest.mark.fast
+
+
+def _classes(n_fine, group=5):
+    n_coarse = -(-n_fine // group)
+    return {
+        "coarse_to_fine_map": [
+            [i * group, min((i + 1) * group, n_fine) - 1] for i in range(n_coarse)
+        ],
+        "coarse_names": {i: f"c{i}" for i in range(n_coarse)},
+        "fine_names": {i: f"f{i}" for i in range(n_fine)},
+    }
+
+
+CASES = [
+    # n_fine, B, hw(emb), ignore_frac, sparse_labels
+    (150, 2, 16, 0.05, False),
+    (19, 1, 24, 0.3, False),
+    (7, 2, 8, 0.0, False),
+    (150, 1, 8, 0.1, True),  # many classes absent; counts < k
+    (6, 1, 4, 0.9, False),  # mostly ignore
+]
+
+
+def _make_inputs(rng, n_fine, B, hw, ignore_frac, sparse, D=16):
+    emb = rng.normal(size=(B, hw, hw, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    if sparse:
+        vals = [0, 1, 2, n_fine - 1, 255]
+        lbl = rng.choice(vals, size=(B, hw * 8, hw * 8)).astype(np.int32)
+    else:
+        lbl = rng.integers(0, n_fine, size=(B, hw * 8, hw * 8)).astype(np.int32)
+    lbl = np.where(rng.random(lbl.shape) < ignore_frac, 255, lbl)
+    return emb, lbl
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"C{c[0]}-ign{c[3]}")
+@pytest.mark.parametrize("k", [200, 7])
+def test_range_selection_paths_agree(rng, case, k):
+    n_fine, B, hw, ignore_frac, sparse = case
+    h = Hierarchy.from_class_config(_classes(n_fine))
+    emb, lbl = _make_inputs(rng, n_fine, B, hw, ignore_frac, sparse)
+
+    lm, cm = tree_triplet_loss_range(emb, lbl, h, max_triplet=k, selection="mask")
+    ls, cs = tree_triplet_loss_range(emb, lbl, h, max_triplet=k, selection="sorted")
+    assert int(cm) == int(cs)
+    np.testing.assert_allclose(float(lm), float(ls), rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"C{c[0]}-ign{c[3]}")
+@pytest.mark.parametrize("k", [200, 7])
+def test_groups_selection_paths_agree(rng, case, k):
+    n_fine, B, hw, ignore_frac, sparse = case
+    emb, lbl = _make_inputs(rng, n_fine, B, hw, ignore_frac, sparse)
+    ids = list(range(1, n_fine))  # skip background like the reference
+    upper, lower = ids[: len(ids) // 2], ids[len(ids) // 2 :]
+
+    gm = tree_triplet_loss_groups(
+        emb, lbl, upper, lower, n_fine, max_triplet=k, selection="mask"
+    )
+    gs = tree_triplet_loss_groups(
+        emb, lbl, upper, lower, n_fine, max_triplet=k, selection="sorted"
+    )
+    assert int(gm[1]) == int(gs[1])
+    np.testing.assert_allclose(float(gm[0]), float(gs[0]), rtol=1e-6, atol=1e-7)
+
+
+def test_grad_paths_agree(rng):
+    h = Hierarchy.from_class_config(_classes(150))
+    emb, lbl = _make_inputs(rng, 150, 2, 16, 0.05, False)
+    gmask = jax.grad(
+        lambda e: tree_triplet_loss_range(e, lbl, h, selection="mask")[0]
+    )(emb)
+    gsort = jax.grad(
+        lambda e: tree_triplet_loss_range(e, lbl, h, selection="sorted")[0]
+    )(emb)
+    np.testing.assert_allclose(
+        np.asarray(gmask), np.asarray(gsort), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_degenerate_groups_sorted(rng):
+    emb, lbl = _make_inputs(rng, 150, 1, 8, 0.0, False)
+    z = tree_triplet_loss_groups(emb, lbl, [], [], 150, selection="sorted")
+    assert float(z[0]) == 0.0 and int(z[1]) == 0
+    # one-sided group: no negatives exist -> zero classes in both paths
+    for sel in ("mask", "sorted"):
+        o = tree_triplet_loss_groups(emb, lbl, [1, 2, 3], [], 150, selection=sel)
+        assert int(o[1]) == 0
+
+
+def test_singleton_buckets_sorted(rng):
+    # every bucket has exactly one class: no positives anywhere
+    h = Hierarchy.from_class_config(_classes(40, group=1))
+    emb, lbl = _make_inputs(rng, 40, 1, 8, 0.0, False)
+    for sel in ("mask", "sorted"):
+        loss, count = tree_triplet_loss_range(emb, lbl, h, selection=sel)
+        assert int(count) == 0 and float(loss) == 0.0
+
+
+def test_auto_crossover_static():
+    from seghiero_tpu.losses.tree_triplet import SORTED_SELECTION_MIN_CLASSES
+
+    # Cityscapes-scale (19 fine) and up take the sorted path by default —
+    # measured faster on the v5e at both 19 and 150 classes (DESIGN.md
+    # decision 22); the equivalence tests above make the switch safe.
+    assert SORTED_SELECTION_MIN_CLASSES <= 19
