@@ -261,13 +261,30 @@ class TrainingConfig:
     # MXU) — faster 3-level steps at relaxed parity tolerances
     rmi_precision: str = "parity"
     # storage precision of the full-resolution upsampled logits the
-    # hierarchy-BCE/CE terms read (fast C-major losses only): "parity"
-    # (default) keeps them f32; "fast" stores them bf16 — the loss math
+    # hierarchy-BCE/CE terms read (fast C-major losses only): "fast"
+    # (default — DESIGN.md decision 23) stores them bf16; the loss math
     # still runs in f32 (every consumer upcasts inside its fused read),
     # but the materialized tensor and the bilinear upsample halve, which
-    # dominates many-class steps (see docs/DESIGN.md decision 21)
-    hiera_precision: str = "parity"
+    # dominates many-class steps (+40% at 150 classes, +6% headline).
+    # "parity" keeps f32 storage — the oracle-exact mode the parity
+    # tests pin. Configs that disable fast_losses (or select the f32
+    # Pallas fused kernel) fall back to parity automatically.
+    hiera_precision: str = "fast"
     triplet_schedule_unit: str = "step"
+    # 3-level group-triplet override (losses/tree_triplet.py:
+    # tree_triplet_loss_groups): explicit upper/lower fine-class id lists
+    # replacing the hierarchy-derived split_upper_lower() default (first
+    # super bucket's fine ids minus background vs the rest — with >2
+    # super buckets everything outside bucket 0 lands in `lower`). The
+    # reference hardcodes these by dataset (rmi_hiera_triplet_loss.py:
+    # 263-270); set both or neither. Validated against the hierarchy
+    # (in-range, disjoint) in SegHieroConfig.from_dict.
+    triplet_upper_ids: Optional[Sequence[int]] = None
+    triplet_lower_ids: Optional[Sequence[int]] = None
+    # triplet pixel-selection backend: "auto" picks mask vs sorted by
+    # class count (losses/tree_triplet.py SORTED_SELECTION_MIN_CLASSES);
+    # both select identical pixels — force one for benchmarking
+    triplet_selection: str = "auto"
     # OHEM hard-pixel mining on the per-level CE terms (losses/ohem.py,
     # mmseg OHEMPixelSampler semantics rebuilt TPU-static): keep pixels
     # with true-class prob < ohem_thresh, floored at ohem_min_kept
@@ -371,12 +388,38 @@ class TrainingConfig:
         kwargs = {k: v for k, v in d.items() if k in known}
         # reference uses coarse_weight/super_weight in example config but
         # never reads them (example-config.yaml:40-41); accept silently.
+        hiera_precision_explicit = "hiera_precision" in kwargs
         out = cls(**kwargs)
+        if (
+            not hiera_precision_explicit
+            and out.hiera_precision == "fast"
+            and (not out.fast_losses or out.pallas_fused_loss)
+        ):
+            # the 'fast' default only applies to the fast C-major losses;
+            # configs that opt out of those (fast_losses: false, or the
+            # f32 Pallas fused kernel) keep parity automatically — the
+            # errors below fire only on an EXPLICIT hiera_precision: fast
+            out = dataclasses.replace(out, hiera_precision="parity")
         if out.rmi_pool_size != out.rmi_pool_stride:
             # mirrors rmi_hiera_triplet_loss.py:260
             raise ValueError("rmi_pool_size must equal rmi_pool_stride")
         if out.triplet_schedule_unit not in ("step", "epoch"):
             raise ValueError("triplet_schedule_unit must be 'step' or 'epoch'")
+        if out.triplet_selection not in ("auto", "mask", "sorted"):
+            raise ValueError(
+                "triplet_selection must be 'auto', 'mask' or 'sorted'"
+            )
+        if (out.triplet_upper_ids is None) != (out.triplet_lower_ids is None):
+            raise ValueError(
+                "triplet_upper_ids and triplet_lower_ids must be set "
+                "together (both or neither)"
+            )
+        if out.triplet_upper_ids is not None:
+            out = dataclasses.replace(
+                out,
+                triplet_upper_ids=tuple(int(i) for i in out.triplet_upper_ids),
+                triplet_lower_ids=tuple(int(i) for i in out.triplet_lower_ids),
+            )
         if out.ohem_thresh is not None and not (0.0 < out.ohem_thresh <= 1.0):
             raise ValueError("ohem_thresh must be in (0, 1]")
         if out.ohem_min_kept < 0:
@@ -567,7 +610,7 @@ class SegHieroConfig:
             warnings.warn(f"Ignoring unknown config sections: {sorted(unknown)}")
         if "classes" not in cfg:
             raise ValueError("config must have a 'classes' section")
-        return cls(
+        out = cls(
             dataset=DatasetConfig.from_dict(cfg.get("dataset", {})),
             hierarchy=Hierarchy.from_class_config(cfg["classes"]),
             model=ModelConfig.from_dict(cfg.get("model", {})),
@@ -576,6 +619,32 @@ class SegHieroConfig:
             output=OutputConfig.from_dict(cfg.get("output", {})),
             raw=cfg,
         )
+        # cross-section checks that need the hierarchy
+        upper = out.training.triplet_upper_ids
+        lower = out.training.triplet_lower_ids
+        if upper is not None:
+            if not out.hierarchy.has_super:
+                raise ValueError(
+                    "training.triplet_upper_ids/lower_ids configure the "
+                    "3-level group triplet (the reference's "
+                    "rmi_tree_triplet_loss); 2-level configs use the "
+                    "range variant, which derives groups from the "
+                    "hierarchy itself"
+                )
+            n_fine = out.hierarchy.n_fine
+            bad = [i for i in (*upper, *lower) if not 0 <= i < n_fine]
+            if bad:
+                raise ValueError(
+                    f"triplet group ids out of range [0, {n_fine}): "
+                    f"{sorted(set(bad))}"
+                )
+            overlap = set(upper) & set(lower)
+            if overlap:
+                raise ValueError(
+                    "triplet_upper_ids and triplet_lower_ids must be "
+                    f"disjoint; both contain {sorted(overlap)}"
+                )
+        return out
 
     @property
     def fine_names(self) -> Dict[int, str]:

@@ -133,3 +133,104 @@ def test_compiler_options_validation(classes_2level):
                 "training": {"compiler_options": "not-a-mapping"},
             }
         )
+
+
+# ---- triplet group-id / selection plumbing (round-4 verdict ask #5) ----
+
+
+def test_triplet_group_ids_plumbed_to_composite(classes_3level):
+    from seghiero_tpu.train.steps import make_composite_loss
+
+    cfg = SegHieroConfig.from_dict(
+        {
+            "classes": classes_3level,
+            "training": {
+                "triplet_upper_ids": [1, 2, 3],
+                "triplet_lower_ids": [4, 5],
+                "triplet_selection": "sorted",
+            },
+        }
+    )
+    assert cfg.training.triplet_upper_ids == (1, 2, 3)
+    composite = make_composite_loss(cfg)
+    assert tuple(composite.upper_ids) == (1, 2, 3)
+    assert tuple(composite.lower_ids) == (4, 5)
+    assert composite.selection == "sorted"
+    # 2-level composite gets the selection knob too
+    cfg2 = SegHieroConfig.from_dict(
+        {
+            "classes": {
+                k: v
+                for k, v in classes_3level.items()
+                if not k.startswith("super")
+            },
+            "training": {"triplet_selection": "mask"},
+        }
+    )
+    assert make_composite_loss(cfg2).selection == "mask"
+
+
+def test_triplet_group_ids_validation(classes_3level, classes_2level):
+    def mk(training, classes=classes_3level):
+        return SegHieroConfig.from_dict(
+            {"classes": dict(classes), "training": training}
+        )
+
+    with pytest.raises(ValueError, match="set\\s+together"):
+        mk({"triplet_upper_ids": [1, 2]})
+    with pytest.raises(ValueError, match="out of range"):
+        mk({"triplet_upper_ids": [1, 99], "triplet_lower_ids": [2]})
+    with pytest.raises(ValueError, match="disjoint"):
+        mk({"triplet_upper_ids": [1, 2], "triplet_lower_ids": [2, 3]})
+    with pytest.raises(ValueError, match="3-level"):
+        mk(
+            {"triplet_upper_ids": [1], "triplet_lower_ids": [2]},
+            classes=classes_2level,
+        )
+    with pytest.raises(ValueError, match="triplet_selection"):
+        mk({"triplet_selection": "bogus"})
+
+
+def test_group_loss_rejects_bad_ids_both_backends():
+    # ADVICE r3: a group id >= n_fine must fail loudly in BOTH selection
+    # backends (the JAX gathers in the sorted path used to clamp
+    # silently, yielding wrong counts)
+    import numpy as np
+
+    from seghiero_tpu.losses.tree_triplet import tree_triplet_loss_groups
+
+    emb = np.zeros((1, 4, 4, 8), np.float32)
+    lbl = np.zeros((1, 32, 32), np.int32)
+    for sel in ("mask", "sorted"):
+        with pytest.raises(ValueError, match="out of range"):
+            tree_triplet_loss_groups(emb, lbl, [1, 9], [2], 9, selection=sel)
+
+
+# ---- hiera_precision default (DESIGN.md decision 23) ----
+
+
+def test_hiera_precision_defaults(classes_2level):
+    # default is the bf16-storage fast mode…
+    cfg = SegHieroConfig.from_dict({"classes": classes_2level})
+    assert cfg.training.hiera_precision == "fast"
+    # …but configs that opt out of the fast C-major losses (or pick the
+    # f32 Pallas fused kernel) fall back to parity automatically
+    cfg = SegHieroConfig.from_dict(
+        {"classes": classes_2level, "training": {"fast_losses": False}}
+    )
+    assert cfg.training.hiera_precision == "parity"
+    cfg = SegHieroConfig.from_dict(
+        {"classes": classes_2level, "training": {"pallas_fused_loss": True}}
+    )
+    assert cfg.training.hiera_precision == "parity"
+    # EXPLICIT fast + incompatible knobs still errors
+    with pytest.raises(ValueError, match="fast_losses"):
+        SegHieroConfig.from_dict(
+            {
+                "classes": classes_2level,
+                "training": {
+                    "fast_losses": False,
+                    "hiera_precision": "fast",
+                },
+            }
+        )
