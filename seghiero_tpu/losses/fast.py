@@ -430,7 +430,8 @@ class FastHieraTripletLoss:
     def __init__(self, hierarchy, loss_weight=1.0, schedule_total_steps=80_000,
                  axis_name: Optional[str] = None, use_pallas: bool = False,
                  hiera_variant: str = "bce", focal_gamma: float = 2.0,
-                 ohem=None, hiera_precision: str = "parity"):
+                 ohem=None, hiera_precision: str = "parity",
+                 selection: str = "auto"):
         self.h = hierarchy
         self.loss_weight = loss_weight
         self.schedule_total_steps = schedule_total_steps
@@ -442,6 +443,8 @@ class FastHieraTripletLoss:
         # "fast": store the upsampled logits bf16 (math stays f32 via
         # fused upcasts in every consumer) — config.py hiera_precision
         self.hiera_precision = hiera_precision
+        # triplet pixel-selection backend (losses/tree_triplet.py)
+        self.selection = selection
 
     def __call__(self, step, embedding, cls_score_before, cls_score, label):
         h = self.h
@@ -491,7 +494,9 @@ class FastHieraTripletLoss:
                 h.ignore_index,
                 ohem=self.ohem,
             )
-        t, c = tree_triplet_loss_range(embedding, label, h)
+        t, c = tree_triplet_loss_range(
+            embedding, label, h, selection=self.selection
+        )
         ready = triplet_readiness(c, self.axis_name)
         factor = triplet_schedule_factor(step, self.schedule_total_steps)
         return (loss + jnp.where(ready, factor * t, 0.0)) * self.loss_weight
@@ -509,7 +514,8 @@ class FastRMIHieraTripletLoss:
                  mesh=None, pallas_interpret: bool = False,
                  rmi_precision: str = "parity",
                  hiera_variant: str = "bce", focal_gamma: float = 2.0,
-                 ohem=None, hiera_precision: str = "parity"):
+                 ohem=None, hiera_precision: str = "parity",
+                 selection: str = "auto"):
         self.h = hierarchy
         self.rmi_radius = rmi_radius
         self.loss_weight_lambda = loss_weight_lambda
@@ -532,6 +538,8 @@ class FastRMIHieraTripletLoss:
         # stays f32 (fused upcasts) and the RMI input probs are formed
         # in f32 — only the materialized tensor + upsample halve
         self.hiera_precision = hiera_precision
+        # triplet pixel-selection backend (losses/tree_triplet.py)
+        self.selection = selection
 
     @property
     def schedule_total_steps(self):
@@ -603,7 +611,8 @@ class FastRMIHieraTripletLoss:
             else h.split_upper_lower()
         )
         t, c = tree_triplet_loss_groups(
-            embedding, label, upper, lower, nf, ignore_index=h.ignore_index
+            embedding, label, upper, lower, nf,
+            ignore_index=h.ignore_index, selection=self.selection,
         )
         ready = triplet_readiness(c, self.axis_name)
         factor = triplet_schedule_factor(step, self.schedule_total_steps)

@@ -299,6 +299,9 @@ class HieraTripletLoss:
     # optional (thresh, batch_kept) hard-pixel mining on the per-level CE
     # terms (losses/ohem.py); None = reference behavior (all pixels)
     ohem: Optional[Tuple[float, int]] = None
+    # triplet pixel-selection backend: "auto" | "mask" | "sorted"
+    # (losses/tree_triplet.py — identical indices, different cost curves)
+    selection: str = "auto"
 
     def __call__(
         self,
@@ -329,7 +332,8 @@ class HieraTripletLoss:
         )
 
         triplet, class_count = tree_triplet_loss_range(
-            embedding, label, h, max_triplet=self.max_triplet, margin=self.margin
+            embedding, label, h, max_triplet=self.max_triplet,
+            margin=self.margin, selection=self.selection,
         )
         ready = triplet_readiness(class_count, self.axis_name)
         factor = triplet_schedule_factor(step, self.schedule_total_steps)

@@ -291,6 +291,9 @@ class RMIHieraTripletLoss:
     # optional (thresh, batch_kept) hard-pixel mining on the per-level CE
     # terms (losses/ohem.py); None = reference behavior (all pixels)
     ohem: Optional[Tuple[float, int]] = None
+    # triplet pixel-selection backend: "auto" | "mask" | "sorted"
+    # (losses/tree_triplet.py — identical indices, different cost curves)
+    selection: str = "auto"
 
     def __post_init__(self):
         if self.rmi_pool_size != self.rmi_pool_stride:
@@ -371,6 +374,7 @@ class RMIHieraTripletLoss:
             ignore_index=h.ignore_index,
             max_triplet=self.max_triplet,
             margin=self.margin,
+            selection=self.selection,
         )
         ready = triplet_readiness(class_count, self.axis_name)
         factor = triplet_schedule_factor(step, self.schedule_total_steps)

@@ -108,12 +108,12 @@ def _merged_first_k(
         jnp.asarray(member_rows >= 0)[:, :, None]
     )
     merged = jnp.where(cand_valid, cand, n).reshape(len(member_rows), m * k)
-    kk = min(k, merged.shape[-1])
+    # m ≥ 1 (every row has at least one member column), so the merged
+    # width m·k is never narrower than k and top_k needs no pad branch
+    assert merged.shape[-1] >= k, (merged.shape, k)
     # k smallest positions, ascending (== first-k in flat order)
-    _, mi = jax.lax.top_k(-merged, kk)
+    _, mi = jax.lax.top_k(-merged, k)
     sel = jnp.take_along_axis(merged, mi, axis=-1)
-    if kk < k:  # degenerate: every member list shorter than k in total
-        sel = jnp.pad(sel, ((0, 0), (0, k - kk)), constant_values=n)
     return jnp.minimum(sel, n - 1)
 
 
@@ -323,6 +323,14 @@ def tree_triplet_loss_groups(
 
     upper = sorted(int(i) for i in upper_ids)
     lower = sorted(int(i) for i in lower_ids)
+    # validate once at entry so BOTH backends fail loudly on bad ids —
+    # the numpy pos_lut fill raises IndexError but JAX gathers in the
+    # sorted path clamp silently, yielding wrong counts instead
+    bad = [i for i in upper + lower if not 0 <= i < n_fine]
+    if bad:
+        raise ValueError(
+            f"triplet group ids out of range [0, {n_fine}): {sorted(bad)}"
+        )
     listed = upper + lower
     if not listed:
         zero = jnp.zeros((), jnp.float32)

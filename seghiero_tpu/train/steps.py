@@ -89,6 +89,9 @@ def make_composite_loss(
                 focal_gamma=t.focal_gamma,
                 ohem=ohem,
                 hiera_precision=t.hiera_precision,
+                upper_ids=t.triplet_upper_ids,
+                lower_ids=t.triplet_lower_ids,
+                selection=t.triplet_selection,
             )
         return FastHieraTripletLoss(
             h,
@@ -99,6 +102,7 @@ def make_composite_loss(
             focal_gamma=t.focal_gamma,
             ohem=ohem,
             hiera_precision=t.hiera_precision,
+            selection=t.triplet_selection,
         )
     if h.has_super:
         return RMIHieraTripletLoss(
@@ -113,6 +117,9 @@ def make_composite_loss(
             hiera_variant=t.hiera_variant,
             focal_gamma=t.focal_gamma,
             ohem=ohem,
+            upper_ids=t.triplet_upper_ids,
+            lower_ids=t.triplet_lower_ids,
+            selection=t.triplet_selection,
         )
     return HieraTripletLoss(
         hierarchy=h,
@@ -121,6 +128,7 @@ def make_composite_loss(
         hiera_variant=t.hiera_variant,
         focal_gamma=t.focal_gamma,
         ohem=ohem,
+        selection=t.triplet_selection,
     )
 
 

@@ -67,7 +67,10 @@ def test_range_selection_paths_agree(rng, case, k):
     lm, cm = tree_triplet_loss_range(emb, lbl, h, max_triplet=k, selection="mask")
     ls, cs = tree_triplet_loss_range(emb, lbl, h, max_triplet=k, selection="sorted")
     assert int(cm) == int(cs)
-    np.testing.assert_allclose(float(lm), float(ls), rtol=1e-6, atol=1e-7)
+    # BIT-equal, not merely close: both paths select identical indices
+    # and feed the same _triplet_from_indices arithmetic (the DESIGN.md
+    # "bit-equal" claim, pinned)
+    assert float(lm) == float(ls)
 
 
 @pytest.mark.parametrize("case", CASES, ids=lambda c: f"C{c[0]}-ign{c[3]}")
@@ -85,7 +88,8 @@ def test_groups_selection_paths_agree(rng, case, k):
         emb, lbl, upper, lower, n_fine, max_triplet=k, selection="sorted"
     )
     assert int(gm[1]) == int(gs[1])
-    np.testing.assert_allclose(float(gm[0]), float(gs[0]), rtol=1e-6, atol=1e-7)
+    # bit-equal — see test_range_selection_paths_agree
+    assert float(gm[0]) == float(gs[0])
 
 
 def test_grad_paths_agree(rng):
@@ -97,9 +101,9 @@ def test_grad_paths_agree(rng):
     gsort = jax.grad(
         lambda e: tree_triplet_loss_range(e, lbl, h, selection="sorted")[0]
     )(emb)
-    np.testing.assert_allclose(
-        np.asarray(gmask), np.asarray(gsort), rtol=1e-5, atol=1e-7
-    )
+    # bit-equal gradients: identical selected indices -> identical
+    # backward arithmetic
+    np.testing.assert_array_equal(np.asarray(gmask), np.asarray(gsort))
 
 
 def test_degenerate_groups_sorted(rng):
