@@ -467,11 +467,25 @@ class Trainer(FitLoopMixin):
                 batch_stats["backbone"] = jax.tree_util.tree_map(jnp.asarray, bs)
             if self.verbose:
                 print(f"→ Loaded pretrained backbone from {pre}")
-        elif pre is True and self.verbose:
-            print(
-                "→ model.pretrained=true but no weight file given; this "
-                "environment has no network — using random init. Pass a "
-                "torchvision .pth path to model.pretrained to convert."
+        elif pre is True:
+            # The reference downloads ImageNet weights via torchvision
+            # (reference models/backbone/resnet.py:34-39). This runtime
+            # has no network, and silently training a randomly-initialized
+            # backbone under a config that says `pretrained: true` gives a
+            # quietly different model — hard error instead (round-3
+            # verdict ask #7).
+            raise ValueError(
+                "model.pretrained: true needs a local weight file in this "
+                "offline environment (the reference auto-downloads via "
+                "torchvision; there is no network here). Set "
+                "model.pretrained to a .pth/.safetensors path — e.g. on a "
+                "connected machine run  python -c \"import torchvision, "
+                "torch; torch.save(torchvision.models.resnet"
+                f"{self.cfg.model.depth}(weights='IMAGENET1K_V1')"
+                ".state_dict(), 'resnet.pth')\"  and point "
+                "model.pretrained at the file (accepted layouts: "
+                "docs/MIGRATION.md 'Pretrained weights'). For a fresh "
+                "random init set model.pretrained: false explicitly."
             )
         return params, batch_stats
 

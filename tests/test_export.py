@@ -54,6 +54,7 @@ def _predictor(cfg):
     return Predictor(cfg, variables)
 
 
+@pytest.mark.medium
 def test_export_roundtrip_matches_predictor(rng, classes_2level, tmp_path):
     cfg = _cfg(classes_2level, tmp_path)
     pred = _predictor(cfg)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from seghiero_tpu.losses.tree_triplet import triplet_readiness
@@ -88,6 +89,7 @@ def test_ddp_sync_bn_matches_global_batch_stats(classes_2level, tmp_path):
     assert not np.allclose(stem_var["ddp_local"], stem_var["pjit"], rtol=1e-4)
 
 
+@pytest.mark.medium
 def test_ddp_matches_pjit_on_one_device(classes_2level, tmp_path):
     """With a single replica the two modes are the same math."""
     from tests.test_train_e2e import tiny_config

@@ -115,6 +115,7 @@ def test_healthz_meta_stats(served):
         assert "batches" in json.loads(r.read())
 
 
+@pytest.mark.medium
 def test_predict_json_matches_predictor(served):
     url, pred, _ = served
     rng = np.random.default_rng(0)

@@ -39,6 +39,7 @@ def tiny_config(classes, tmp_path, *, epochs=1, batch=2, size=6, hw=32, lr=0.005
     )
 
 
+@pytest.mark.medium
 def test_train_2level_loss_decreases(classes_2level, tmp_path):
     cfg = tiny_config(classes_2level, tmp_path, epochs=2, size=16)
     trainer = Trainer(cfg, verbose=False)
@@ -173,3 +174,18 @@ def test_compiler_options_reach_the_compiler(classes_2level, tmp_path):
     )
     with pytest.raises(Exception, match="(?i)no such compile option|unknown"):
         Trainer(bogus, verbose=False).fit()
+
+
+@pytest.mark.fast
+def test_pretrained_true_without_path_hard_errors(classes_2level, tmp_path):
+    """model.pretrained: true with no weight file must raise, not
+    silently train a random init (the reference auto-downloads ImageNet
+    weights, models/backbone/resnet.py:34-39; this runtime is offline)."""
+    import dataclasses
+
+    cfg = tiny_config(classes_2level, tmp_path)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, pretrained=True)
+    )
+    with pytest.raises(ValueError, match="offline|weight file"):
+        Trainer(cfg, verbose=False)
