@@ -27,13 +27,19 @@ claim.
 Timeout-proofing (round-3 BENCH artifact was rc=124 with zero numbers —
 one hung compile zeroed the whole round):
 
-  * the default all-config run is an ORCHESTRATOR: each measurement
-    point runs in a watchdogged subprocess (``--point`` child mode);
-    one hung/OOM point is recorded as an error and the sweep continues;
-  * the headline config runs FIRST, and a complete, flushed headline
-    JSON line prints the moment it finishes — a mid-sweep kill still
-    leaves a parseable last line (the final enriched JSON, printed
-    last, supersedes it when the run completes);
+  * the default all-config run is an ORCHESTRATOR supervising ONE
+    persistent worker subprocess (``--worker`` mode: point specs in via
+    stdin, results out via stdout). One process for all points matters
+    on this relay runtime: the TPU grant takes ~4 min to hand over
+    between processes, so per-point subprocesses hang on their first
+    *execution* (measured: compile succeeds, warmup never returns);
+  * per-point watchdog in the parent: no result within the point's cap
+    → kill the worker, record the error, wait out the grant-recovery
+    window, respawn for the remaining points;
+  * the headline config runs FIRST, and an updated partial headline
+    JSON line is (re)printed after EVERY completed point — a mid-sweep
+    kill leaves a parseable last line carrying all completed points;
+    the final enriched JSON prints last and supersedes them;
   * a wall-clock budget (env ``BENCH_BUDGET_S``, default 1100 s) after
     which no new point starts;
   * ``JAX_COMPILATION_CACHE_DIR`` is set (same dir as tests/conftest.py)
@@ -466,69 +472,133 @@ def _headline_json(results: dict, headline_id: str, partial: bool = False):
     }
 
 
+class _Worker:
+    """One persistent ``--worker`` subprocess: specs in via stdin (one
+    JSON per line), results out via stdout. A reader thread feeds a
+    queue so the parent can wait with a per-point deadline."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+            bufsize=1,
+        )
+        self.q = queue.Queue()
+
+        def _read():
+            for line in self.proc.stdout:
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        self.q.put(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass
+            self.q.put(None)  # EOF
+
+        self._t = threading.Thread(target=_read, daemon=True)
+        self._t.start()
+
+    def run(self, spec: dict, cap: float):
+        """Returns the result dict, or None on hang/crash (worker is
+        dead afterwards — caller must respawn)."""
+        import queue
+
+        try:
+            self.proc.stdin.write(json.dumps(spec) + "\n")
+            self.proc.stdin.flush()
+        except (BrokenPipeError, OSError):
+            return None
+        deadline = time.monotonic() + cap
+        while True:
+            try:
+                msg = self.q.get(timeout=max(0.1, deadline - time.monotonic()))
+            except queue.Empty:
+                self.kill()
+                return None
+            if msg is None:  # worker exited without a result
+                return None
+            if "point_result" in msg:
+                return msg["point_result"]
+            # ignore other chatter lines
+
+    def kill(self):
+        try:
+            self.proc.kill()
+        except OSError:
+            pass
+
+
 def orchestrate(args, base_spec: dict):
-    """Default all-config run: every point in a watchdogged subprocess,
-    headline first with an immediate flushed JSON line, wall-clock
-    budget, final enriched JSON last."""
+    """Default all-config run: one persistent worker process executes
+    points sequentially (no TPU-grant churn); the parent watchdogs each
+    point, respawns on hangs, re-emits a partial headline JSON after
+    every completed point, and enforces the wall-clock budget."""
     t_start = time.monotonic()
     budget = float(os.environ.get("BENCH_BUDGET_S", "1100"))
 
     def remaining():
         return budget - (time.monotonic() - t_start)
 
-    def run_child(spec: dict, cap: float) -> dict:
-        cap = max(60.0, min(cap, remaining() - 10))
-        cmd = [sys.executable, os.path.abspath(__file__),
-               "--point", json.dumps(spec)]
-        t0 = time.monotonic()
-        try:
-            proc = subprocess.run(cmd, stdout=subprocess.PIPE, timeout=cap)
-        except subprocess.TimeoutExpired:
-            print(f"# WATCHDOG: point killed after {cap:.0f}s",
-                  file=sys.stderr, flush=True)
-            return {"error": f"timeout after {cap:.0f}s (watchdog)"}
-        wall = time.monotonic() - t0
-        out = proc.stdout.decode(errors="replace")
-        for line in reversed(out.splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                try:
-                    d = json.loads(line)
-                    if "point_result" in d:
-                        res = d["point_result"]
-                        print(f"# point wall {wall:.0f}s", file=sys.stderr,
-                              flush=True)
-                        return res
-                except json.JSONDecodeError:
-                    pass
-        return {"error": f"child rc={proc.returncode}, no result line "
-                         f"after {wall:.0f}s"}
+    # after killing a hung TPU worker, the chip's grant needs ~4 min to
+    # recover on this relay runtime — a respawned worker inside that
+    # window hangs on its first execution. CPU workers need no pause.
+    recovery_s = float(os.environ.get(
+        "BENCH_RECOVERY_S", "0" if base_spec.get("platform") == "cpu" else "240"
+    ))
+
+    results = {}
+    worker = _Worker()
+    headline_emitted = False
+
+    def emit_partial():
+        if "2" in results and "images_per_sec_per_chip" in results["2"]:
+            print(json.dumps(_headline_json(results, "2", partial=True)),
+                  flush=True)
 
     def point(cid, cap, **kw):
+        nonlocal worker
         if remaining() < 90:
             print(f"# budget exhausted ({budget:.0f}s) — skipping config "
                   f"{cid} {kw}", file=sys.stderr, flush=True)
             return {"skipped": "wall-clock budget"}
-        return run_child(dict(base_spec, cid=cid, **kw), cap)
-
-    results = {}
+        cap = max(60.0, min(cap, remaining() - 10))
+        t0 = time.monotonic()
+        res = worker.run(dict(base_spec, cid=cid, **kw), cap)
+        wall = time.monotonic() - t0
+        if res is None:
+            print(f"# WATCHDOG: worker killed on config {cid} {kw} after "
+                  f"{wall:.0f}s", file=sys.stderr, flush=True)
+            worker.kill()
+            if recovery_s and remaining() > recovery_s + 90:
+                print(f"# waiting {recovery_s:.0f}s for device-grant "
+                      "recovery", file=sys.stderr, flush=True)
+                time.sleep(recovery_s)
+            worker = _Worker()
+            return {"error": f"hang/crash after {wall:.0f}s (watchdog)"}
+        print(f"# point wall {wall:.0f}s", file=sys.stderr, flush=True)
+        return res
 
     # 1. headline FIRST (one retry — it is THE number), early JSON emit
     results["2"] = point(2, cap=420)
     if "images_per_sec_per_chip" not in results["2"] and remaining() > 240:
         print("# headline failed — one retry", file=sys.stderr, flush=True)
         results["2"] = point(2, cap=min(600, remaining() - 60))
-    print(json.dumps(_headline_json(results, "2", partial=True)), flush=True)
+    emit_partial()
 
     # 2. ADE20K-scale point (round-3's biggest claimed win: the C-major
     #    loss rewrite + bf16 loss storage at 150 fine classes)
     results["150class"] = point(2, cap=300, fine_classes=150)
+    emit_partial()
 
     # 3. the remaining BASELINE configs
-    results["1"] = point(1, cap=240)
-    results["3"] = point(3, cap=300)
-    results["4"] = point(4, cap=330)
-    results["5"] = point(5, cap=330)
+    for cid, cap in ((1, 240), (3, 300), (4, 330), (5, 330)):
+        results[str(cid)] = point(cid, cap=cap)
+        emit_partial()
 
     if not args.no_sweep:
         # rmi_precision: fast — the bf16-Gram RMI mode (+17% on config 3
@@ -537,11 +607,13 @@ def orchestrate(args, base_spec: dict):
             "3": point(3, cap=240, rmi_precision="fast"),
             "4": point(4, cap=300, rmi_precision="fast"),
         }
+        emit_partial()
         # hiera_precision: parity — the oracle-exact mode (default is
         # now 'fast', DESIGN.md decision 23); captured so the cost of
         # exactness stays on the record
         results["hiera_parity"] = {"2": point(2, cap=240,
                                               hiera_precision="parity")}
+        emit_partial()
         # operating-point sweep (round-2 verdict ask #1): the headline
         # config is conv-bound at b8; img/s/chip at the best legal batch
         # is the competitive number. OOM points record an error and the
@@ -575,6 +647,7 @@ def orchestrate(args, base_spec: dict):
                 "images_per_sec_per_chip": best_pt["images_per_sec_per_chip"],
             }
 
+    worker.kill()
     print(f"# total wall {time.monotonic() - t_start:.0f}s "
           f"(budget {budget:.0f}s)", file=sys.stderr, flush=True)
     out = _headline_json(results, "2")
@@ -599,8 +672,14 @@ def main():
         type=str,
         default=None,
         help="(internal) JSON point spec — run one measurement in-process "
-        "and print a {'point_result': ...} line; the orchestrator's "
-        "child mode",
+        "and print a {'point_result': ...} line",
+    )
+    p.add_argument(
+        "--worker",
+        action="store_true",
+        help="(internal) persistent worker: read JSON point specs from "
+        "stdin (one per line), print a {'point_result': ...} line per "
+        "spec; the orchestrator's child mode",
     )
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--dtype", type=str, default="bfloat16")
@@ -720,6 +799,15 @@ def main():
     if args.point:
         res = bench_point(json.loads(args.point))
         print(json.dumps({"point_result": res}), flush=True)
+        return
+
+    if args.worker:
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            res = bench_point(json.loads(line))
+            print(json.dumps({"point_result": res}), flush=True)
         return
 
     if args.dry_run:

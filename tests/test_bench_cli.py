@@ -56,3 +56,51 @@ def test_xla_sweep_dry_run():
     for row in rows:
         assert "ms_per_step" in row, row
     assert rows[0]["speedup_vs_baseline"] == 1.0
+
+
+def test_bench_worker_protocol():
+    """The orchestrator's --worker child: specs in via stdin, one
+    {'point_result': ...} line out per spec, process stays warm between
+    points (the property that avoids the TPU-grant handover hang)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "bench.py", "--worker"],
+        cwd=REPO, env=env, stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE, text=True, bufsize=1,
+    )
+    spec = {"cid": 2, "dry": True, "steps": 2, "dtype": "float32",
+            "platform": "cpu"}
+    try:
+        out, _ = proc.communicate(
+            input=json.dumps(spec) + "\n"
+            + json.dumps(dict(spec, fine_classes=20)) + "\n",
+            timeout=800,
+        )
+    finally:
+        proc.kill()
+    lines = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    results = [d["point_result"] for d in lines if "point_result" in d]
+    assert len(results) == 2, out[-2000:]
+    for r in results:
+        assert r["images_per_sec_per_chip"] > 0, r
+        assert r["hiera_precision"] == "fast"  # config default applied
+
+
+def test_bench_orchestrator_dry_run_partial_and_final_json():
+    """--dry-run --all drives the real orchestrator (worker subprocess,
+    partial emits, budget): the stdout must contain at least one partial
+    headline line and end with the final enriched JSON."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_BUDGET_S="240")
+    r = subprocess.run(
+        [sys.executable, "bench.py", "--dry-run", "--all", "--no-sweep"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, (r.stderr or r.stdout)[-2000:]
+    recs = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    assert len(recs) >= 2  # >=1 partial + the final
+    assert recs[0]["details"].get("partial") is True
+    final = recs[-1]
+    assert "partial" not in final["details"]
+    assert final["details"]["2"]["images_per_sec_per_chip"] > 0
+    # every BASELINE config key is present (measured, error, or skipped)
+    assert set("12345") <= set(final["details"])
