@@ -335,11 +335,14 @@ def run_infer_bench(trainer, batch, steps: int, spd: int = 1):
 
     per_call = spd
     print("# warmup (compile)...", file=sys.stderr, flush=True)
+    chained = _aot(chained, variables, images)
+    flops = _flops_of(chained)
+    flops = flops / spd if flops else None  # per predict, not per dispatch
     t0 = time.perf_counter()
     for _ in range(2):
         images, preds = chained(variables, images)
     jax.device_get(preds["fine"][0, 0, 0])
-    print(f"# compile+warmup {time.perf_counter() - t0:.1f}s",
+    print(f"# warmup {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
     def timed(n_calls):
@@ -358,7 +361,7 @@ def run_infer_bench(trainer, batch, steps: int, spd: int = 1):
         print(f"# window {dt:.2f}s < 1.0s; re-timing over {calls} calls",
               file=sys.stderr, flush=True)
         dt = timed(calls)
-    return dt, 0.0, calls * per_call, None
+    return dt, 0.0, calls * per_call, flops
 
 
 def parse_compiler_options(spec: str):
