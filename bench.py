@@ -584,6 +584,19 @@ def orchestrate(args, base_spec: dict):
             worker = _Worker()
             return {"error": f"hang/crash after {wall:.0f}s (watchdog)"}
         print(f"# point wall {wall:.0f}s", file=sys.stderr, flush=True)
+        # transient relay/server failures (e.g. remote_compile HTTP 500,
+        # tpu_compile_helper crashes) succeed on immediate retry — one
+        # retry in the same warm worker; real errors (OOM) repeat and
+        # are returned as-is
+        err = res.get("error", "")
+        if any(s in err for s in ("INTERNAL", "HTTP 5", "UNAVAILABLE")):
+            print(f"# transient error on config {cid} {kw} — one retry",
+                  file=sys.stderr, flush=True)
+            retry = worker.run(dict(base_spec, cid=cid, **kw), cap)
+            if retry is not None:
+                return retry
+            worker.kill()
+            worker = _Worker()
         return res
 
     # 1. headline FIRST (one retry — it is THE number), early JSON emit
