@@ -58,6 +58,17 @@ import time
 
 A100_REF_IMG_S = 40.0  # docs/BASELINE_ASSUMPTIONS.md
 
+_WORKER_MODE = False
+
+
+def _hb(stage: str):
+    """Worker→orchestrator heartbeat (stdout JSON line). Stages: build
+    (trainer/dataset construction), compile (XLA lower+compile), exec
+    (device execution — the short stall limit applies there, see
+    ``_Worker.run``). No-op outside ``--worker`` mode."""
+    if _WORKER_MODE:
+        print(json.dumps({"hb": stage}), flush=True)
+
 CLASSES_2L = {
     "coarse_to_fine_map": [[0, 3], [4, 6], [7], [8]],
     "coarse_names": {0: "a", 1: "b", 2: "c", 3: "d"},
@@ -203,10 +214,12 @@ def _aot(jitted, *args):
     object directly, and cost_analysis comes from the same program —
     no second trace/compile. Compile seconds go to stderr (verdict r3
     ask: make the next stall diagnosable)."""
+    _hb("compile")
     t0 = time.perf_counter()
     compiled = jitted.lower(*args).compile()
     print(f"# compile {time.perf_counter() - t0:.1f}s", file=sys.stderr,
           flush=True)
+    _hb("exec")
     return compiled
 
 
@@ -247,9 +260,11 @@ def run_train_bench(trainer, batch, steps: int, min_time_s: float = 1.0):
                 f"# warmup dispatch {i}: loss={float(jax.device_get(m['loss'])):.4f}",
                 file=sys.stderr, flush=True,
             )
+            _hb("exec")
 
         def timed(n_calls):
             nonlocal state, m
+            _hb("exec")
             t0 = time.perf_counter()
             for _ in range(n_calls):
                 state, m = step_fn(state, stacked, epoch)
@@ -270,9 +285,11 @@ def run_train_bench(trainer, batch, steps: int, min_time_s: float = 1.0):
         state, m = step_fn(state, batch, epoch)
         print(f"# warmup step {i}: loss={float(jax.device_get(m['loss'])):.4f}",
               file=sys.stderr, flush=True)
+        _hb("exec")
 
     def timed(n):
         nonlocal state, m
+        _hb("exec")
         t0 = time.perf_counter()
         for _ in range(n):
             state, m = step_fn(state, batch, epoch)
@@ -344,9 +361,11 @@ def run_infer_bench(trainer, batch, steps: int, spd: int = 1):
     jax.device_get(preds["fine"][0, 0, 0])
     print(f"# warmup {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
+    _hb("exec")
 
     def timed(n_calls):
         nonlocal images, preds
+        _hb("exec")
         t0 = time.perf_counter()
         for _ in range(n_calls):
             images, preds = chained(variables, images)
@@ -387,6 +406,24 @@ def bench_point(spec: dict) -> dict:
         # the first backend initializes
         jax.config.update("jax_platforms", spec["platform"])
 
+    if spec.get("probe"):
+        # chip-health probe: one trivial jitted op + device_get. Through
+        # the relay this is where a process-handover hang bites (compile
+        # is served fine; the first *execution* never returns), so the
+        # orchestrator runs this first with a short exec-stall limit and
+        # absorbs the hang cheaply before the headline point.
+        import jax.numpy as jnp
+
+        _hb("compile")
+        f = jax.jit(lambda x: x + 1)
+        lowered = f.lower(jnp.zeros(()))
+        compiled = lowered.compile()
+        _hb("exec")
+        val = float(jax.device_get(compiled(jnp.ones(()))))
+        return {"ok": val == 2.0,
+                "platform": jax.devices()[0].platform}
+
+    _hb("build")
     cid = spec["cid"]
     steps = spec.get("steps", 30)
     spd = spec.get("steps_per_dispatch")
@@ -506,9 +543,17 @@ class _Worker:
         self._t = threading.Thread(target=_read, daemon=True)
         self._t.start()
 
-    def run(self, spec: dict, cap: float):
+    def run(self, spec: dict, cap: float, exec_stall: float = 180.0):
         """Returns the result dict, or None on hang/crash (worker is
-        dead afterwards — caller must respawn)."""
+        dead afterwards — caller must respawn).
+
+        Stall detection rides the worker's ``{"hb": stage}`` heartbeat
+        lines: build/compile stages may legitimately be slow (cold
+        r101@1024² compiles) and get the full ``cap``, but once the
+        worker reports the ``exec`` stage, silence for ``exec_stall``
+        seconds means the relay-handover hang (compile succeeds, first
+        execution never returns — see module docstring) and the worker
+        is killed immediately instead of burning the whole cap."""
         import queue
 
         try:
@@ -517,16 +562,35 @@ class _Worker:
         except (BrokenPipeError, OSError):
             return None
         deadline = time.monotonic() + cap
+        stage = "build"
+        last_msg = time.monotonic()
         while True:
+            now = time.monotonic()
+            stall_deadline = (
+                last_msg + exec_stall if stage == "exec" else deadline
+            )
             try:
-                msg = self.q.get(timeout=max(0.1, deadline - time.monotonic()))
+                msg = self.q.get(
+                    timeout=max(0.1, min(deadline, stall_deadline) - now)
+                )
             except queue.Empty:
-                self.kill()
-                return None
+                if time.monotonic() >= min(deadline, stall_deadline):
+                    if stage == "exec" and time.monotonic() < deadline:
+                        print(
+                            f"# exec-stage stall >{exec_stall:.0f}s "
+                            "(handover hang) — killing worker early",
+                            file=sys.stderr, flush=True,
+                        )
+                    self.kill()
+                    return None
+                continue
             if msg is None:  # worker exited without a result
                 return None
+            last_msg = time.monotonic()
             if "point_result" in msg:
                 return msg["point_result"]
+            if "hb" in msg:
+                stage = msg["hb"]
             # ignore other chatter lines
 
     def kill(self):
@@ -557,6 +621,29 @@ def orchestrate(args, base_spec: dict):
     results = {}
     worker = _Worker()
     headline_emitted = False
+
+    # 0. chip probe (trivial op, short exec-stall limit): if the device
+    #    grant is mid-handover — the round-3 failure mode — the hang is
+    #    absorbed here for ~90 s + recovery wait instead of eating the
+    #    headline point's whole cap. Two attempts, then proceed anyway:
+    #    the per-point watchdogs still bound every later point.
+    for attempt in range(2):
+        t0 = time.monotonic()
+        r = worker.run(dict(base_spec, probe=True),
+                       cap=max(60, min(300, remaining() - 60)),
+                       exec_stall=90)
+        if r is not None:
+            print(f"# probe ok in {time.monotonic() - t0:.0f}s: {r}",
+                  file=sys.stderr, flush=True)
+            break
+        print(f"# probe hang (attempt {attempt + 1}) — respawning worker",
+              file=sys.stderr, flush=True)
+        worker.kill()
+        if recovery_s and remaining() > recovery_s + 120:
+            print(f"# waiting {recovery_s:.0f}s for device-grant recovery",
+                  file=sys.stderr, flush=True)
+            time.sleep(recovery_s)
+        worker = _Worker()
 
     def emit_partial():
         if "2" in results and "images_per_sec_per_chip" in results["2"]:
@@ -818,6 +905,8 @@ def main():
         return
 
     if args.worker:
+        global _WORKER_MODE
+        _WORKER_MODE = True
         for line in sys.stdin:
             line = line.strip()
             if not line:
