@@ -176,6 +176,11 @@ def build(spec: dict):
                 "dtype": spec.get("dtype", "bfloat16"),
                 "remat": bool(spec.get("remat")),
                 "depthwise_backend": spec.get("depthwise_backend", "xla"),
+                **(
+                    {"argmax_backend": spec["argmax_backend"]}
+                    if spec.get("argmax_backend")
+                    else {}
+                ),
                 **({"backbone": spec["backbone"]} if spec.get("backbone") else {}),
                 **(
                     {"backbone_options": {"variant": spec["backbone_variant"]}}
@@ -329,7 +334,7 @@ def run_infer_bench(trainer, batch, steps: int, spd: int = 1):
     # r101-scale tree inflates trace/compile memory and re-bakes the
     # constants on every call of this function.
     def bump_im(variables, images):
-        preds, _ = pred._predict(variables, images, out_hw)
+        preds = pred._predict_masks(variables, images, out_hw)
         # the image->image dependency must NOT be algebraically zero: a
         # `pred * 0` bump gets constant-folded and the whole chained
         # predict dies as dead code (measured: the scan version then
@@ -855,6 +860,16 @@ def main():
         "ops/pallas/depthwise.py); flag kept for re-measurement",
     )
     p.add_argument(
+        "--argmax-backend",
+        type=str,
+        default=None,
+        choices=("xla", "pallas"),
+        help="model.argmax_backend — inference decode path; 'pallas' "
+        "(fused 4x-upsample+argmax) measured SLOWER end-to-end in both "
+        "dtypes (ops/pallas/upsample_argmax.py); flag kept for "
+        "re-measurement",
+    )
+    p.add_argument(
         "--remat",
         action="store_true",
         help="model.remat (backbone gradient checkpointing) for the "
@@ -938,6 +953,7 @@ def main():
         fine_classes=args.fine_classes,
         remat=args.remat,
         depthwise_backend=args.depthwise_backend,
+        argmax_backend=args.argmax_backend,
         compiler_options=parse_compiler_options(args.compiler_options),
         pallas_fused_loss=args.pallas_fused_loss,
         platform=args.platform,

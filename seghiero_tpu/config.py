@@ -148,6 +148,13 @@ class ModelConfig:
     # switch — see ops/pallas/depthwise.py for the numbers).
     # Non-3×3/strided/dilated cases always fall back to XLA.
     depthwise_backend: str = "xla"
+    # inference "hierarchy decode" (upsample + per-level argmax,
+    # infer.py:298-312): "xla" (default — measured faster END-TO-END in
+    # both bf16 and f32; XLA fuses/overlaps the decode with the model
+    # forward) or "pallas" (the fused 4×-upsample+argmax kernel, which
+    # wins only in isolation at f32 — measurements in
+    # ops/pallas/upsample_argmax.py). Non-4× outputs always take XLA.
+    argmax_backend: str = "xla"
 
     @classmethod
     def from_dict(cls, d: dict) -> "ModelConfig":
@@ -178,6 +185,11 @@ class ModelConfig:
             raise ValueError(
                 f"model.depthwise_backend must be xla|pallas, got {dw_backend}"
             )
+        am_backend = str(d.get("argmax_backend", "xla"))
+        if am_backend not in ("xla", "pallas"):
+            raise ValueError(
+                f"model.argmax_backend must be xla|pallas, got {am_backend}"
+            )
         return cls(
             pretrained_model=name,
             depth=depth,
@@ -198,6 +210,7 @@ class ModelConfig:
             dtype=str(d.get("dtype", "bfloat16")),
             remat=bool(d.get("remat", False)),
             depthwise_backend=dw_backend,
+            argmax_backend=am_backend,
         )
 
 
