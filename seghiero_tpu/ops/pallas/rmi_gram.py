@@ -417,6 +417,15 @@ def rmi_logdet_pallas_cmajor(
     # 8-aligned for f32 tiles but 16-aligned for bf16 (Mosaic (16,128)
     # tiling) — fast mode therefore picks TH from multiples of 16
     TH, n_t = _pick_tile_rows(nh, sub=16 if precision == "fast" else 8)
+    if precision == "fast" and _round_up(W, 128) >= 896 and TH > 32:
+        # Mosaic scoped-VMEM headroom at r101@769² shapes: TH=48 went
+        # 212 KB over the 16 MB scoped limit once the surrounding
+        # program carried bf16 pad/convert fusions (hiera_precision:
+        # fast default, round-4 driver capture — the compile fails
+        # server-side as remote_compile HTTP 500). A 32-row tile keeps
+        # the same masked-tail math with ~1/3 the in-kernel footprint.
+        TH = 32
+        n_t = -(-nh // TH)
     Hp = n_t * TH + 8  # band DMAs read [t·TH, t·TH+TH+8)
     Wp = _round_up(W, 128)
     oh = jax.lax.stop_gradient(oh_map).astype(jnp.float32).reshape(B * C, H, W)

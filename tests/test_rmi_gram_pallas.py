@@ -91,6 +91,29 @@ def test_pallas_rmi_unaligned_width_and_multi_tile(rng):
     np.testing.assert_allclose(v_pal, v_ref, rtol=2e-4)
 
 
+def test_pallas_rmi_fast_capped_tile_wide_maps(rng):
+    """The fast-mode TH≤32 cap for Wp ≥ 896 (the r101@769² scoped-VMEM
+    guard, rmi_logdet_pallas:419) must leave the math unchanged — same
+    masked-tail handling, more tiles."""
+    B, C, H, W = 1, 2, 66, 900  # nh=64 → TH would be 64; capped to 32
+    oh = rng.integers(0, 2, (B, C, H, W)).astype(np.float32)
+    lg = jnp.asarray(
+        rng.standard_normal((B, C, H, W)).astype(np.float32)
+    )
+    v_ref = float(jnp.sum(_core_reference(oh, lg)))
+    v_pal = float(
+        jnp.sum(
+            rmi_logdet_pallas_cmajor(
+                jnp.asarray(oh),
+                jax.nn.sigmoid(lg) + 1e-6,
+                interpret=True,
+                precision="fast",
+            )
+        )
+    )
+    np.testing.assert_allclose(v_pal, v_ref, rtol=2e-2)
+
+
 def test_pallas_rmi_under_shard_map(rng):
     """ddp context: the kernel runs per-replica inside shard_map over the
     data axis (local batch shards) — the multi-chip mode where the Pallas
