@@ -682,9 +682,15 @@ def orchestrate(args, base_spec: dict):
         # are returned as-is
         err = res.get("error", "")
         if any(s in err for s in ("INTERNAL", "HTTP 5", "UNAVAILABLE")):
+            if remaining() < 90:
+                return res  # no budget left for a retry
             print(f"# transient error on config {cid} {kw} — one retry",
                   file=sys.stderr, flush=True)
-            retry = worker.run(dict(base_spec, cid=cid, **kw), cap)
+            # re-clamp: the entry cap is stale after the failed attempt
+            retry = worker.run(
+                dict(base_spec, cid=cid, **kw),
+                max(60.0, min(cap, remaining() - 10)),
+            )
             if retry is not None:
                 return retry
             worker.kill()
@@ -774,13 +780,6 @@ def main():
         help="run ONE config in-process; default orchestrates all 5 "
         "BASELINE configs in watchdogged subprocesses (headline metric "
         "= config 2, every config in `details`)",
-    )
-    p.add_argument(
-        "--point",
-        type=str,
-        default=None,
-        help="(internal) JSON point spec — run one measurement in-process "
-        "and print a {'point_result': ...} line",
     )
     p.add_argument(
         "--worker",
@@ -913,11 +912,6 @@ def main():
     args = p.parse_args()
 
     _set_cache_env()
-
-    if args.point:
-        res = bench_point(json.loads(args.point))
-        print(json.dumps({"point_result": res}), flush=True)
-        return
 
     if args.worker:
         global _WORKER_MODE

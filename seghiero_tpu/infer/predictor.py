@@ -85,44 +85,45 @@ class Predictor:
         def _predict_masks(variables, images_u8, out_hw):
             """Masks-only decode: when only the per-level argmax is
             consumed (predict/predict_array — the serving and batch
-            paths), the fused Pallas 4×-upsample+argmax kernel skips
-            materializing the [B, C, H, W] upsampled logits entirely
-            (ops/pallas/upsample_argmax.py; model.argmax_backend)."""
+            paths), the full-res logits are never a jit output; with
+            ``model.argmax_backend: pallas`` the fused 4×-upsample+
+            argmax kernel skips materializing them entirely
+            (ops/pallas/upsample_argmax.py)."""
             from seghiero_tpu.ops.pallas.upsample_argmax import (
                 fused_argmax_available,
                 fused_upsample_argmax,
             )
 
-            images = normalize_images(
-                images_u8,
-                self.cfg.transform.normalize_mean,
-                self.cfg.transform.normalize_std,
-            )
-            out = self.model.apply(variables, images, train=False)
-            lo = jnp.transpose(out["logits"], (0, 3, 1, 2))
-            backend = self.cfg.model.argmax_backend
-            # the mesh decides where this predictor's computation runs
-            # (training.device: cpu coexists with a TPU default backend)
-            on_tpu = self.mesh.devices.flat[0].platform != "cpu"
-            use_fused = (
-                backend == "pallas"
-                and self.spatial_shards == 1
-                and fused_argmax_available(lo.shape, out_hw)
-            )
-            if use_fused:
-                names = list(slices)
-                outs = fused_upsample_argmax(
-                    lo, [slices[n] for n in names], interpret=not on_tpu
+            if self.cfg.model.argmax_backend == "pallas":
+                images = normalize_images(
+                    images_u8,
+                    self.cfg.transform.normalize_mean,
+                    self.cfg.transform.normalize_std,
                 )
-                return dict(zip(names, outs))
-            B, C = lo.shape[:2]
-            logits = jax.image.resize(
-                lo, (B, C, out_hw[0], out_hw[1]), "linear", antialias=False
-            )
-            return {
-                lvl: jnp.argmax(logits[:, lo_:hi_], axis=1).astype(jnp.int32)
-                for lvl, (lo_, hi_) in slices.items()
-            }
+                out = self.model.apply(variables, images, train=False)
+                lo = jnp.transpose(out["logits"], (0, 3, 1, 2))
+                # the mesh decides where this computation runs
+                # (training.device: cpu coexists with a TPU default
+                # backend); a multi-device mesh falls back to XLA — the
+                # Mosaic custom call has no SPMD partitioning rule for
+                # batch-sharded inputs (same constraint as
+                # rmi_gram_pallas_available)
+                on_tpu = self.mesh.devices.flat[0].platform != "cpu"
+                if (
+                    self.spatial_shards == 1
+                    and self.mesh.devices.size == 1
+                    and fused_argmax_available(lo.shape, out_hw)
+                ):
+                    names = list(slices)
+                    outs = fused_upsample_argmax(
+                        lo, [slices[n] for n in names],
+                        interpret=not on_tpu,
+                    )
+                    return dict(zip(names, outs))
+            # XLA fallback: the shared decode; the unused full-res
+            # logits are dead at the XLA level here (not a jit output)
+            preds, _ = _predict(variables, images_u8, out_hw)
+            return preds
 
         self._predict_masks = jax.jit(_predict_masks, static_argnums=(2,))
 

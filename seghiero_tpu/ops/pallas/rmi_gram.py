@@ -424,6 +424,12 @@ def rmi_logdet_pallas_cmajor(
         # fast default, round-4 driver capture — the compile fails
         # server-side as remote_compile HTTP 500). A 32-row tile keeps
         # the same masked-tail math with ~1/3 the in-kernel footprint.
+        # Deliberately a measured point fix, not a computed bound: the
+        # overflow is NOT monotone in TH·W (fast at 512² compiles fine
+        # with TH=128·W=512 = 65k while 769² fails at 48·896 = 43k —
+        # Mosaic's scoped allocation depends on the surrounding
+        # fusions), so any formula here would be fiction. If another
+        # shape trips the limit, add its measured cap beside this one.
         TH = 32
         n_t = -(-nh // TH)
     Hp = n_t * TH + 8  # band DMAs read [t·TH, t·TH+TH+8)

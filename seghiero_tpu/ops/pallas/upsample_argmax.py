@@ -98,12 +98,16 @@ def fused_argmax_available(shape, out_hw) -> bool:
     generic path — e.g. infer.py's resize-to-original-size — falls back
     to XLA)."""
     B, C, h, w = shape
+    # worst-case (f32, 3 levels) per-row-block footprint at the kh=8
+    # floor must fit the VMEM budget used by fused_upsample_argmax
+    min_footprint = (9 * C * w * 4 + 3 * 16 * w * 4) * 2 * 8
     return (
         out_hw[0] == SCALE * h
         and out_hw[1] == SCALE * w
         and h % 8 == 0
         and w % 8 == 0
         and C <= MAX_CHANNELS
+        and min_footprint <= 12 * 2**20
     )
 
 
@@ -116,11 +120,19 @@ def fused_upsample_argmax(
     """Per-level ``argmax(resize4x(logits)[:, lo:hi], axis=1)`` as int32
     [B, 4h, 4w] masks, without materializing the upsampled logits."""
     B, C, h, w = logits_lo_cmajor.shape
-    kh = min(kh, h, 32)  # kh=64 at config-5 shapes exceeds VMEM
-    while h % kh:
-        kh //= 2
     if logits_lo_cmajor.dtype not in (jnp.bfloat16, jnp.float32):
         logits_lo_cmajor = logits_lo_cmajor.astype(jnp.float32)
+    # bound the per-tile VMEM footprint, not just kh: 9 double-buffered
+    # view blocks [C, kh, w] + the int32 phase outputs [16, kh, w] per
+    # level must stay well under the ~16 MB scoped limit (kh=64 at
+    # config-5 shapes measured over it; a 62-channel hierarchy would
+    # blow it at kh=32 too)
+    ib = jnp.dtype(logits_lo_cmajor.dtype).itemsize
+    budget = 12 * 2**20
+    per_row = (9 * C * w * ib + len(level_slices) * 16 * w * 4) * 2
+    kh = min(kh, h, 32, max(8, (budget // per_row) // 8 * 8))
+    while h % kh:
+        kh //= 2
     lo_pad = jnp.pad(
         logits_lo_cmajor, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge"
     )
