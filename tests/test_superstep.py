@@ -56,7 +56,15 @@ def test_superstep_matches_sequential(classes_2level, tmp_path):
     # to percent-level trajectory drift — for ANY recompilation, not just
     # the scan. lr=1e-4 keeps 3 steps close enough to init that per-step
     # LOSSES agree to 1e-3 between the two programs.
-    extra = {"donate_state": False}
+    # Parity precision ON PURPOSE too: this is a scan-WIRING check
+    # (batch order, carry threading) and the 1e-3 tolerance was
+    # calibrated for f32 fusion noise. Under the round-4
+    # `hiera_precision: fast` default the scanned and unscanned
+    # compilations round the bf16 loss-logit storage at different
+    # fusion boundaries, drifting last-step losses ~0.4% after 3 steps
+    # — real but irrelevant to what this test pins (the fast-vs-parity
+    # trajectory contract lives in test_sgd_trajectory_parity.py).
+    extra = {"donate_state": False, "hiera_precision": "parity"}
     mesh = {"data": 1}
     t1 = Trainer(
         tiny_config(
@@ -99,12 +107,18 @@ def test_superstep_matches_sequential(classes_2level, tmp_path):
     # kicking individual small leaves O(their own update) apart — so the
     # assertions below are wiring checks at robust tolerances, not
     # bitwise determinism checks. A wrong batch order / stale carry
-    # changes the last loss and the loss sum far beyond 1e-3.
+    # changes the last loss and the loss sum by order-1, not percents.
+    # Tolerance 2e-2, NOT 1e-3: the per-step gradient wobble is
+    # box-dependent (measured 0.49% drift after 3 steps under the
+    # 8-virtual-device conftest platform on the round-4 box vs 0.018%
+    # single-device, same code — lr=0 agreement is EXACT, see
+    # test_superstep_lr0_forward_chain_exact, which carries the sharp
+    # wiring signal).
     np.testing.assert_allclose(
-        float(m3["loss"]), seq_losses[-1], rtol=1e-3, atol=1e-4
+        float(m3["loss"]), seq_losses[-1], rtol=2e-2
     )
     np.testing.assert_allclose(
-        float(m3["loss_sum"]), sum(seq_losses), rtol=1e-3, atol=1e-4
+        float(m3["loss_sum"]), sum(seq_losses), rtol=2e-2
     )
     # NOT asserted: post-hoc parameter distances. This tiny random-init
     # model's gradients are spiky (measured grad-abs-sum excursions of
@@ -115,6 +129,50 @@ def test_superstep_matches_sequential(classes_2level, tmp_path):
     # that the updates actually apply by the movement check below.
     assert _l2(s1.params, t1.state.params) > 0.0
     assert _l2(s3.params, t3.state.params) > 0.0
+
+
+def test_superstep_lr0_forward_chain_exact(classes_2level, tmp_path):
+    """The SHARP scan-wiring check: with lr=0 the params never move, so
+    the scanned and sequential programs evaluate the exact same forward
+    chain (including the BN batch-stats carry, which still updates).
+    Any batch-order / stale-carry / stat-threading bug changes these
+    losses outright; compile-to-compile gradient wobble — which forces
+    the loose tolerances above — cannot, because no gradient is ever
+    applied. Measured agreement on the round-4 box: bit-identical last
+    loss, sum to 1e-7 rel."""
+    import jax.numpy as jnp
+
+    extra = {"donate_state": False, "hiera_precision": "parity"}
+    mesh = {"data": 1}
+    t1 = Trainer(
+        tiny_config(classes_2level, tmp_path / "a", mesh=mesh, lr=0.0,
+                    extra_training=extra),
+        verbose=False,
+    )
+    t3 = Trainer(
+        tiny_config(
+            classes_2level, tmp_path / "b", mesh=mesh, lr=0.0,
+            extra_training={**extra, "steps_per_dispatch": 3},
+        ),
+        verbose=False,
+    )
+    it = iter(t1.train_loader)
+    b1, b2, b3 = next(it), next(it), next(it)
+    epoch = jnp.asarray(0)
+    s1 = t1.state
+    seq_losses = []
+    for b in (b1, b2, b3):
+        s1, m1 = t1._train_step(s1, b, epoch)
+        seq_losses.append(float(m1["loss"]))
+    stacked = t3._stack_batches(b1, b2, b3)
+    s3, m3 = t3._train_superstep(t3.state, stacked, epoch)
+    assert int(s3.step) == int(s1.step) == 3
+    np.testing.assert_allclose(
+        float(m3["loss"]), seq_losses[-1], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m3["loss_sum"]), sum(seq_losses), rtol=1e-6
+    )
 
 
 def test_fit_with_steps_per_dispatch_and_tail(classes_2level, tmp_path):
