@@ -131,6 +131,7 @@ def test_superstep_matches_sequential(classes_2level, tmp_path):
     assert _l2(s3.params, t3.state.params) > 0.0
 
 
+@pytest.mark.medium
 def test_superstep_lr0_forward_chain_exact(classes_2level, tmp_path):
     """The SHARP scan-wiring check: with lr=0 the params never move, so
     the scanned and sequential programs evaluate the exact same forward
