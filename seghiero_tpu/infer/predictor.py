@@ -190,6 +190,21 @@ class Predictor:
                     os.path.basename(checkpoint.rstrip("/")),
                 )
                 checkpoint = None
+            elif cfg.output.project_name in entries:
+                # the checkpoint_dir ROOT itself (one level above the
+                # manager root — what `output.checkpoint_dir` names in
+                # the config): descend into the project subdir
+                sub = os.path.join(checkpoint, cfg.output.project_name)
+                sub_entries = (
+                    os.listdir(sub) if os.path.isdir(sub) else []
+                )
+                if "best.json" in sub_entries or any(
+                    e.startswith("step_") for e in sub_entries
+                ):
+                    mngr = CheckpointManager(
+                        checkpoint.rstrip("/"), cfg.output.project_name
+                    )
+                    checkpoint = None
         if checkpoint:
             state = mngr._ckptr.restore(os.path.join(checkpoint, "state"), template)
         else:

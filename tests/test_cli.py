@@ -95,6 +95,27 @@ def test_train_then_infer_cli(file_dataset, tmp_path, capsys):
     assert fine.shape == (40, 40)
     assert fine.max() < 9
 
+    # --checkpoint accepts any of: the step dir, the manager root
+    # (<checkpoint_dir>/<project>), or the checkpoint_dir ROOT itself —
+    # the latter is what `output.checkpoint_dir` literally names in the
+    # config, a natural thing to paste (predictor.from_checkpoint)
+    for ckpt_arg in (str(ckpt_root), str(tmp_path / "ckpt")):
+        out_dir2 = tmp_path / f"preds_{os.path.basename(ckpt_arg)}"
+        assert (
+            infer_main(
+                [
+                    "--config", str(cfg_path),
+                    "--image", img,
+                    "--checkpoint", ckpt_arg,
+                    "--output-dir", str(out_dir2),
+                    "--device", "cpu",
+                ]
+            )
+            == 0
+        )
+        same = np.asarray(Image.open(out_dir2 / "s0_fine.png"))
+        np.testing.assert_array_equal(same, fine)
+
 
 def test_native_transform_backend_trains(file_dataset, tmp_path):
     """File-backed training through the C++ transform core."""
