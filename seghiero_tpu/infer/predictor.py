@@ -59,7 +59,11 @@ class Predictor:
         h = self.cfg.hierarchy
         slices = dict(zip(("fine", "coarse", "super"), h.level_slices))
 
-        def _predict(variables, images_u8, out_hw):
+        def _forward_cmajor(variables, images_u8):
+            """normalize + model forward → logits in C-major [B, C, h, w].
+            Shared by both decode paths so each jitted program traces the
+            model exactly once (the pallas-gated path previously traced a
+            second forward in its XLA fallback and relied on CSE)."""
             images = normalize_images(
                 images_u8,
                 self.cfg.transform.normalize_mean,
@@ -69,7 +73,9 @@ class Predictor:
             # upsample + argmax in C-major layout: with the class axis in
             # the TPU lane dimension the full-res tensors are padded to
             # 128 lanes (~10× traffic for C≈15); see losses/fast.py.
-            lo = jnp.transpose(out["logits"], (0, 3, 1, 2))
+            return jnp.transpose(out["logits"], (0, 3, 1, 2))
+
+        def _decode(lo, out_hw):
             B, C = lo.shape[:2]
             logits = jax.image.resize(
                 lo, (B, C, out_hw[0], out_hw[1]), "linear", antialias=False
@@ -79,6 +85,9 @@ class Predictor:
                 for lvl, (lo_, hi_) in slices.items()
             }
             return preds, logits  # logits in C-major [B, C, H, W]
+
+        def _predict(variables, images_u8, out_hw):
+            return _decode(_forward_cmajor(variables, images_u8), out_hw)
 
         self._predict = jax.jit(_predict, static_argnums=(2,))
 
@@ -94,14 +103,8 @@ class Predictor:
                 fused_upsample_argmax,
             )
 
+            lo = _forward_cmajor(variables, images_u8)
             if self.cfg.model.argmax_backend == "pallas":
-                images = normalize_images(
-                    images_u8,
-                    self.cfg.transform.normalize_mean,
-                    self.cfg.transform.normalize_std,
-                )
-                out = self.model.apply(variables, images, train=False)
-                lo = jnp.transpose(out["logits"], (0, 3, 1, 2))
                 # the mesh decides where this computation runs
                 # (training.device: cpu coexists with a TPU default
                 # backend); a multi-device mesh falls back to XLA — the
@@ -120,9 +123,9 @@ class Predictor:
                         interpret=not on_tpu,
                     )
                     return dict(zip(names, outs))
-            # XLA fallback: the shared decode; the unused full-res
-            # logits are dead at the XLA level here (not a jit output)
-            preds, _ = _predict(variables, images_u8, out_hw)
+            # XLA fallback reuses the already-traced forward; the unused
+            # full-res logits are dead at the XLA level (not a jit output)
+            preds, _ = _decode(lo, out_hw)
             return preds
 
         self._predict_masks = jax.jit(_predict_masks, static_argnums=(2,))
@@ -194,17 +197,14 @@ class Predictor:
                 # the checkpoint_dir ROOT itself (one level above the
                 # manager root — what `output.checkpoint_dir` names in
                 # the config): descend into the project subdir
-                sub = os.path.join(checkpoint, cfg.output.project_name)
-                sub_entries = (
-                    os.listdir(sub) if os.path.isdir(sub) else []
+                # unconditionally. If the subdir holds no committed
+                # checkpoint (e.g. a crashed run), restore_best returns
+                # None and the explicit FileNotFoundError below fires —
+                # not an opaque Orbax restore error on '<root>/state'.
+                mngr = CheckpointManager(
+                    checkpoint.rstrip("/"), cfg.output.project_name
                 )
-                if "best.json" in sub_entries or any(
-                    e.startswith("step_") for e in sub_entries
-                ):
-                    mngr = CheckpointManager(
-                        checkpoint.rstrip("/"), cfg.output.project_name
-                    )
-                    checkpoint = None
+                checkpoint = None
         if checkpoint:
             state = mngr._ckptr.restore(os.path.join(checkpoint, "state"), template)
         else:

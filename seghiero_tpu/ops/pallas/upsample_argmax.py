@@ -131,8 +131,17 @@ def fused_upsample_argmax(
     budget = 12 * 2**20
     per_row = (9 * C * w * ib + len(level_slices) * 16 * w * 4) * 2
     kh = min(kh, h, 32, max(8, (budget // per_row) // 8 * 8))
-    while h % kh:
-        kh //= 2
+    # fit kh to h in 8-row steps, not by halving: a VMEM clamp like 24
+    # with h=40 must land on 8 (sublane-aligned, divides any h%8==0),
+    # not degrade through 12→6→3 — sub-8 tile heights are unaligned on
+    # TPU. The availability gate guarantees h%8==0; direct (test)
+    # callers with other h fall back to halving.
+    if h % 8 == 0 and kh % 8 == 0:
+        while h % kh:
+            kh -= 8
+    else:
+        while h % kh:
+            kh //= 2
     lo_pad = jnp.pad(
         logits_lo_cmajor, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge"
     )

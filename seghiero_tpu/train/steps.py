@@ -68,6 +68,27 @@ def make_composite_loss(
         if t.ohem_thresh is not None
         else None
     )
+    # Degenerate-hierarchy guard (round-4 verdict): when the derived
+    # triplet upper/lower split is one-sided (all non-background fine ids
+    # share a single super/coarse bucket), the groups-variant triplet
+    # term can never find a negative — class_count stays 0 and the term
+    # silently never activates. Surface that at construction time instead
+    # of training a different objective without notice.
+    if h.has_super and (t.triplet_upper_ids is None or t.triplet_lower_ids is None):
+        upper, lower = h.split_upper_lower()
+        if not upper or not lower:
+            import warnings
+
+            warnings.warn(
+                "the hierarchy-derived triplet upper/lower split is "
+                f"one-sided (upper={upper}, lower={lower}): every "
+                "non-background fine class falls in one "
+                f"{'super' if h.has_super else 'coarse'} bucket, so the "
+                "tree-triplet term will never activate. Set "
+                "training.triplet_upper_ids / training.triplet_lower_ids "
+                "explicitly to define the positive/negative groups.",
+                stacklevel=2,
+            )
     if t.fast_losses:
         from seghiero_tpu.losses.fast import (
             FastHieraTripletLoss,
@@ -141,6 +162,7 @@ def _forward_losses(
     sched_step: jax.Array,
     train: bool,
     need_full_logits: bool = False,
+    flip_step: Optional[jax.Array] = None,
 ):
     """Shared forward + loss assembly (train.py:266-315 for train,
     :341-378 for val — identical math). Fast-path composites
@@ -150,7 +172,34 @@ def _forward_losses(
     images = normalize_images(
         batch["image"], cfg.transform.normalize_mean, cfg.transform.normalize_std
     )
-    fine = batch["fine"]
+    # labels may arrive in a narrow transfer dtype (uint8 from the raw
+    # cache — 4× less host→device traffic); widen on device for free
+    fine = batch["fine"].astype(jnp.int32)
+    if train and cfg.transform.device_hflip and cfg.transform.hflip_prob > 0:
+        # transform.device_hflip: the random horizontal flip runs HERE,
+        # fused into the jitted step (image + fine label with one shared
+        # coin per sample), instead of as ~3 ms/image of strided host
+        # copies. Coins come from the JAX PRNG folded with the schedule
+        # step, so every step (incl. inside a superstep scan) draws a
+        # fresh batch of coins. Host-side flips are disabled when this is
+        # on (data/dataset.py). Folded with the true optimizer step
+        # (flip_step) — sched_step may be the epoch index under
+        # triplet_schedule_unit: epoch, which would repeat coins.
+        coin_key = jax.random.fold_in(
+            jax.random.key(cfg.training.seed + 0x5E6),
+            sched_step if flip_step is None else flip_step,
+        )
+        axis = getattr(composite, "axis_name", None)
+        if axis is not None:
+            # ddp shard_map: decorrelate the per-replica coin streams
+            coin_key = jax.random.fold_in(coin_key, jax.lax.axis_index(axis))
+        coins = jax.random.bernoulli(
+            coin_key, cfg.transform.hflip_prob, (images.shape[0],)
+        )
+        images = jnp.where(
+            coins[:, None, None, None], images[:, :, ::-1, :], images
+        )
+        fine = jnp.where(coins[:, None, None], fine[:, :, ::-1], fine)
     H, W = fine.shape[1:3]
     n_fine = cfg.hierarchy.n_fine
 
@@ -229,7 +278,8 @@ def make_train_step(
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             loss, main, aux, _, new_bs = _forward_losses(
-                model, composite, cfg, variables, batch, sched_step, train=True
+                model, composite, cfg, variables, batch, sched_step,
+                train=True, flip_step=state.step,
             )
             return loss, (main, aux, new_bs)
 
@@ -280,7 +330,8 @@ def make_train_step_ddp(
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             loss, main, aux, _, new_bs = _forward_losses(
-                model, composite, cfg, variables, batch, sched_step, train=True
+                model, composite, cfg, variables, batch, sched_step,
+                train=True, flip_step=state.step,
             )
             return loss, (main, aux, new_bs)
 

@@ -121,8 +121,17 @@ class Trainer(FitLoopMixin):
             cfg, mesh=self.mesh if sp == 1 else None
         )
 
-        self.train_ds = build_dataset(cfg, "train", seed=cfg.training.seed)
-        self.val_ds = build_dataset(cfg, "val", seed=cfg.training.seed)
+        # the jitted step derives coarse/super targets on device, so the
+        # TRAIN loader skips host-side level derivation (include_levels);
+        # eval metrics consume the level masks, so the val loader keeps
+        # them
+        self.train_ds = build_dataset(
+            cfg, "train", seed=cfg.training.seed,
+            include_levels=False, verbose=self.verbose,
+        )
+        self.val_ds = build_dataset(
+            cfg, "val", seed=cfg.training.seed, verbose=self.verbose
+        )
         if sp > 1:
             from seghiero_tpu.parallel.spatial import spatial_batch_sharding
 
@@ -296,14 +305,24 @@ class Trainer(FitLoopMixin):
     def _restore_latest_compat(self):
         """restore_latest, tolerant of checkpoints written before EMA was
         enabled: retries with an EMA-less template and seeds the EMA from
-        the restored params (turning ema_decay on mid-run is valid)."""
+        the restored params (turning ema_decay on mid-run is valid).
+
+        Only ``ValueError`` triggers the retry — Orbax's tree-structure
+        mismatch class ("restore item and on-disk value metadata tree
+        structures do not match"). A genuinely corrupt checkpoint raises
+        its own error directly; if the EMA-less retry fails too, the
+        ORIGINAL error is re-raised (with the retry failure chained as
+        context) instead of being masked by the second one."""
         try:
             return self.ckpt.restore_latest(self.state)
-        except Exception:
+        except ValueError as orig:  # orbax structure mismatch
             if self.state.ema_params is None:
                 raise
             template = self.state.replace(ema_params=None)
-            restored = self.ckpt.restore_latest(template)
+            try:
+                restored = self.ckpt.restore_latest(template)
+            except Exception:
+                raise orig  # surface the first failure, not the retry's
             if restored is None:
                 return None
             st, meta = restored
