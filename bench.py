@@ -388,6 +388,196 @@ def run_infer_bench(trainer, batch, steps: int, spd: int = 1):
     return dt, 0.0, calls * per_call, flops
 
 
+def _gen_pipeline_dataset(root: str, n: int, hw: int, classes: dict):
+    """Write an n-sample file-backed dataset (PNG image/mask pairs at
+    hw²) rendered from the synthetic shapes generator — the disk corpus
+    for the fed-pipeline benchmark. Idempotent per (root, n, hw)."""
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return
+    import numpy as np
+    from PIL import Image
+
+    from seghiero_tpu.config import SegHieroConfig
+    from seghiero_tpu.data.synthetic import SyntheticShapesDataset
+
+    cfg = SegHieroConfig.from_dict(
+        {
+            "dataset": {"kind": "synthetic", "synthetic_size": n},
+            "classes": classes,
+            "transform": {"resize": [hw, hw]},
+            "output": {"checkpoint_dir": "/tmp/bench_ckpt", "project_name": "pipe"},
+        }
+    )
+    ds = SyntheticShapesDataset(cfg, "train", seed=11)
+    img_dir = os.path.join(root, "img")
+    msk_dir = os.path.join(root, "msk")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(msk_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    for i in range(n):
+        s = ds[i]
+        Image.fromarray(s["image"]).save(os.path.join(img_dir, f"{i:05d}.png"))
+        Image.fromarray(s["fine"].astype(np.uint8)).save(
+            os.path.join(msk_dir, f"{i:05d}.png")
+        )
+    with open(done, "w") as f:
+        f.write("ok")
+    print(f"# pipeline dataset: {n}x{hw}² PNGs in "
+          f"{time.perf_counter() - t0:.1f}s -> {root}",
+          file=sys.stderr, flush=True)
+
+
+def _pipe_cfg_dict(root: str, hw: int, batch: int, classes: dict,
+                   depth: int, dtype: str, variant: str) -> dict:
+    """Config dict for one pipeline variant: 'pil' | 'pil_w4' | 'native'
+    | 'cache' | 'cache_devflip'."""
+    transform = {"resize": [hw, hw], "hflip_prob": 0.5}
+    dataset = {
+        "root": root,
+        "train": {"image_subdir": "img", "mask_subdir": "msk"},
+        "val": {"image_subdir": "img", "mask_subdir": "msk"},
+    }
+    training = {"epochs": 1, "batch_size": batch, "lr": 0.001,
+                "log_every": 10**9, "num_workers": 0}
+    if variant == "pil_w4":
+        training["num_workers"] = 4
+    elif variant == "native":
+        transform["backend"] = "native"
+    elif variant in ("cache", "cache_devflip"):
+        dataset["cache"] = "raw"
+        dataset["cache_dir"] = os.path.join(root, "_rawcache")
+        if variant == "cache_devflip":
+            transform["device_hflip"] = True
+    return {
+        "dataset": dataset,
+        "classes": classes,
+        "model": {"depth": depth, "dtype": dtype},
+        "training": training,
+        "transform": transform,
+        "output": {"checkpoint_dir": "/tmp/bench_ckpt", "project_name": "pipe"},
+    }
+
+
+def pipeline_bench(spec: dict) -> dict:
+    """End-to-end *fed* throughput (round-4 verdict ask #1): the host
+    input pipeline (file decode → augment → collate → device_put) feeding
+    the real jitted train step, vs the device-resident number the other
+    configs report. Match target: the reference's full loop
+    (/root/reference/train.py:121-134,261-262 — DataLoader workers → H2D
+    copy → step). Also reports host-only loader rates per backend so a
+    gap is attributable (decode vs transfer vs step)."""
+    import jax
+
+    from seghiero_tpu.config import SegHieroConfig
+    from seghiero_tpu.data.dataset import build_dataset
+    from seghiero_tpu.data.pipeline import BatchLoader
+
+    dry = bool(spec.get("dry"))
+    hw = 64 if dry else 512
+    n = 24 if dry else 96
+    batch = 2 if dry else 8
+    depth = 18 if dry else 50
+    steps = 4 if dry else max(24, spec.get("steps", 30))
+    dtype = spec.get("dtype", "bfloat16")
+    classes = CLASSES_2L
+    root = f"/tmp/bench_pipe_{n}_{hw}"
+
+    _hb("build")
+    _gen_pipeline_dataset(root, n, hw, classes)
+
+    res = {"n_files": n, "hw": hw, "batch": batch, "host": {}}
+
+    # --- host-only loader rates (no device involved) ------------------
+    variants = ["pil", "pil_w4", "native", "cache", "cache_devflip"]
+    for variant in variants:
+        _hb("build")
+        try:
+            cfg = SegHieroConfig.from_dict(
+                _pipe_cfg_dict(root, hw, batch, classes, depth, dtype, variant)
+            )
+            ds = build_dataset(cfg, "train", include_levels=False,
+                               verbose=False)
+            loader = BatchLoader(
+                ds, batch, shuffle=True, drop_last=True,
+                num_workers=cfg.training.num_workers, prefetch=0,
+            )
+            # ≥2 s window (mid-epoch break allowed — slow decode backends
+            # at 512² would otherwise run a whole ~20 s epoch)
+            win = 0.5 if dry else 2.0
+            t0 = time.perf_counter()
+            images = 0
+            epoch = 0
+            while time.perf_counter() - t0 < win:
+                loader.set_epoch(epoch)
+                for b in loader:
+                    images += b["image"].shape[0]
+                    if (
+                        time.perf_counter() - t0 >= win
+                        and images >= 4 * batch
+                    ):
+                        break
+                epoch += 1
+            dt = time.perf_counter() - t0
+            res["host"][variant] = round(images / dt, 2)
+        except Exception as e:  # native backend may be unavailable etc.
+            res["host"][variant] = f"error: {type(e).__name__}: {e}"
+        print(f"# pipeline host[{variant}]: {res['host'][variant]} img/s",
+              file=sys.stderr, flush=True)
+
+    # --- fed training: loader → device_put → real train step ----------
+    def fed_run(variant: str):
+        from seghiero_tpu.train.trainer import Trainer
+
+        cfg = SegHieroConfig.from_dict(
+            _pipe_cfg_dict(root, hw, batch, classes, depth, dtype, variant)
+        )
+        trainer = Trainer(cfg, verbose=False)
+        state = trainer.state
+        epoch_arr = jax.numpy.asarray(0)
+        # warmup/compile on the first batch (the step program is shared
+        # with the device-resident config-2 run → usually cache-warm)
+        it = iter(trainer.train_loader)
+        first = next(it)
+        step_fn = _aot(trainer._train_step, state, first, epoch_arr)
+        state, m = step_fn(state, first, epoch_arr)
+        float(jax.device_get(m["loss"]))
+        _hb("exec")
+        done_steps = 0
+        t0 = time.perf_counter()
+        while done_steps < steps:
+            for b in it:
+                state, m = step_fn(state, b, epoch_arr)
+                done_steps += 1
+                if done_steps >= steps:
+                    break
+            else:
+                trainer.train_loader.set_epoch(done_steps)  # new epoch
+                it = iter(trainer.train_loader)
+        loss = float(jax.device_get(m["loss"]))
+        dt = time.perf_counter() - t0
+        del trainer, state
+        import gc
+
+        gc.collect()
+        return {
+            "images_per_sec": round(batch * done_steps / dt, 2),
+            "seconds_per_step": round(dt / done_steps, 5),
+            "steps": done_steps,
+            "final_loss": loss,
+        }
+
+    for variant in ("pil", "cache_devflip"):
+        _hb("build")
+        try:
+            res[f"fed_{variant}"] = fed_run(variant)
+        except Exception as e:
+            res[f"fed_{variant}"] = f"error: {type(e).__name__}: {e}"
+        print(f"# pipeline fed[{variant}]: {res[f'fed_{variant}']}",
+              file=sys.stderr, flush=True)
+    return res
+
+
 def parse_compiler_options(spec: str):
     """'k=v,k2=v2' -> dict; bare keys default to 'true'."""
     if not spec:
@@ -427,6 +617,14 @@ def bench_point(spec: dict) -> dict:
         val = float(jax.device_get(compiled(jnp.ones(()))))
         return {"ok": val == 2.0,
                 "platform": jax.devices()[0].platform}
+
+    if spec.get("pipeline"):
+        try:
+            return pipeline_bench(spec)
+        except Exception as e:
+            print(f"# pipeline bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            return {"error": f"{type(e).__name__}: {e}"}
 
     _hb("build")
     cid = spec["cid"]
@@ -515,6 +713,29 @@ def _headline_json(results: dict, headline_id: str, partial: bool = False):
         "vs_baseline": round(value / A100_REF_IMG_S, 3),
         "details": details,
     }
+
+
+def _emit(out: dict, final: bool = False):
+    """Print a headline JSON line whose LAST-line form is COMPACT.
+
+    Round-4 postmortem: the final stdout line embedded the entire
+    ``details`` dict, overflowing the driver's stdout tail window — the
+    artifact recorded ``parsed: null`` two rounds running. Now every
+    stdout emission is the 4-key compact dict; the full ``details`` go
+    (a) to stderr and (b) to ``bench_details.json`` next to this file,
+    so nothing is lost but the parseable line always survives the tail.
+    """
+    details = out.get("details")
+    compact = {k: v for k, v in out.items() if k != "details"}
+    if details is not None:
+        print("# details: " + json.dumps(details), file=sys.stderr, flush=True)
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "bench_details.json"), "w") as f:
+                json.dump(out, f, indent=1)
+        except OSError:
+            pass
+    print(json.dumps(compact), flush=True)
 
 
 class _Worker:
@@ -637,12 +858,19 @@ def orchestrate(args, base_spec: dict):
         r = worker.run(dict(base_spec, probe=True),
                        cap=max(60, min(300, remaining() - 60)),
                        exec_stall=90)
-        if r is not None:
+        if r is not None and r.get("ok"):
             print(f"# probe ok in {time.monotonic() - t0:.0f}s: {r}",
                   file=sys.stderr, flush=True)
             break
-        print(f"# probe hang (attempt {attempt + 1}) — respawning worker",
-              file=sys.stderr, flush=True)
+        if r is not None:
+            # a result with ok=False means the chip MISCOMPUTED the
+            # trivial op — as disqualifying as a hang (ADVICE r4: the
+            # field was logged but never checked)
+            print(f"# probe MISCOMPUTE (attempt {attempt + 1}): {r} — "
+                  "respawning worker", file=sys.stderr, flush=True)
+        else:
+            print(f"# probe hang (attempt {attempt + 1}) — respawning worker",
+                  file=sys.stderr, flush=True)
         worker.kill()
         if recovery_s and remaining() > recovery_s + 120:
             print(f"# waiting {recovery_s:.0f}s for device-grant recovery",
@@ -652,8 +880,7 @@ def orchestrate(args, base_spec: dict):
 
     def emit_partial():
         if "2" in results and "images_per_sec_per_chip" in results["2"]:
-            print(json.dumps(_headline_json(results, "2", partial=True)),
-                  flush=True)
+            _emit(_headline_json(results, "2", partial=True))
 
     def point(cid, cap, **kw):
         nonlocal worker
@@ -707,6 +934,12 @@ def orchestrate(args, base_spec: dict):
     # 2. ADE20K-scale point (round-3's biggest claimed win: the C-major
     #    loss rewrite + bf16 loss storage at 150 fine classes)
     results["150class"] = point(2, cap=300, fine_classes=150)
+    emit_partial()
+
+    # 2b. fed input pipeline (round-4 verdict ask #1): disk → decode →
+    #     augment → device_put → real train step, plus per-backend
+    #     host-only loader rates for attribution
+    results["pipeline"] = point(2, cap=330, pipeline=True)
     emit_partial()
 
     # 3. the remaining BASELINE configs
@@ -765,7 +998,7 @@ def orchestrate(args, base_spec: dict):
     print(f"# total wall {time.monotonic() - t_start:.0f}s "
           f"(budget {budget:.0f}s)", file=sys.stderr, flush=True)
     out = _headline_json(results, "2")
-    print(json.dumps(out), flush=True)
+    _emit(out, final=True)
     if out["metric"] == "bench_error":
         sys.exit(1)
 
@@ -892,6 +1125,14 @@ def main():
         "(DESIGN.md); flag kept for many-class re-measurement",
     )
     p.add_argument(
+        "--pipeline",
+        action="store_true",
+        help="run ONLY the fed-input-pipeline benchmark in-process "
+        "(file dataset → loader → device_put → train step, plus host-only "
+        "loader rates per backend); the default all-config run includes "
+        "it as details.pipeline",
+    )
+    p.add_argument(
         "--dry-run", action="store_true", help="tiny shapes, CPU smoke run"
     )
     p.add_argument(
@@ -954,13 +1195,33 @@ def main():
         dry=args.dry_run,
     )
 
+    if args.pipeline:
+        if args.platform:
+            import jax
+
+            jax.config.update("jax_platforms", args.platform)
+        res = pipeline_bench(dict(base_spec))
+        fed = res.get("fed_cache_devflip")
+        val = fed.get("images_per_sec", 0) if isinstance(fed, dict) else 0
+        _emit(
+            {
+                "metric": "pipeline_fed_images_per_sec_per_chip",
+                "value": val,
+                "unit": "images/sec/chip",
+                "vs_baseline": round(val / A100_REF_IMG_S, 3),
+                "details": res,
+            },
+            final=True,
+        )
+        return
+
     if args.config is not None and not args.all:
         # single config: in-process (no subprocess indirection — this is
         # the interactive/exploratory mode)
         cid = args.config
         results = {str(cid): bench_point(dict(base_spec, cid=cid))}
         out = _headline_json(results, str(cid))
-        print(json.dumps(out), flush=True)
+        _emit(out, final=True)
         if out["metric"] == "bench_error":
             sys.exit(1)
         return

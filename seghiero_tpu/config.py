@@ -65,9 +65,21 @@ class DatasetConfig:
     # extension: "synthetic" generates an in-memory shapes dataset (no disk)
     kind: str = "files"
     synthetic_size: int = 64
+    # extension: "raw" decodes each (image, mask) pair ONCE at the config
+    # resize and memory-maps the raw arrays (data/cache.py); later epochs
+    # read at memcpy speed instead of re-running PNG decode (~13 ms/image
+    # at 512² — the host-side train bottleneck on small-core hosts).
+    # Augmentation still runs per epoch on the cached arrays.
+    cache: str = "none"  # "none" | "raw"
+    # where the raw cache lives; default ~/.cache/seghiero_tpu/<fingerprint>
+    cache_dir: Optional[str] = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "DatasetConfig":
+        cache = str(d.get("cache", "none"))
+        if cache not in ("none", "raw"):
+            raise ValueError(f"dataset.cache must be none|raw, got {cache!r}")
+        cache_dir = d.get("cache_dir")
         if d.get("kind", "files") == "synthetic":
             return cls(kind="synthetic", synthetic_size=int(d.get("synthetic_size", 64)))
 
@@ -82,6 +94,8 @@ class DatasetConfig:
             train_mask_subdir=sub("train", "mask_subdir"),
             val_image_subdir=sub("val", "image_subdir"),
             val_mask_subdir=sub("val", "mask_subdir"),
+            cache=cache,
+            cache_dir=str(cache_dir) if cache_dir else None,
         )
 
     def image_dir(self, split: str) -> str:
@@ -544,6 +558,13 @@ class TransformConfig:
     # perturbation (e.g. 0.3), applied to the image only.
     scale_range: Optional[Tuple[float, float]] = None
     color_jitter: float = 0.0
+    # extension: apply the random horizontal flip ON DEVICE inside the
+    # jitted train step (image + fine label together, coins from the JAX
+    # PRNG folded with the global step) instead of on the host. The flip
+    # fuses into the step for free on TPU, removing ~3 ms/image of
+    # strided host copies; the augmentation stream differs from the
+    # host path (documented divergence) but is statistically identical.
+    device_hflip: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "TransformConfig":
@@ -572,6 +593,7 @@ class TransformConfig:
             backend=backend,
             scale_range=scale_range,
             color_jitter=color_jitter,
+            device_hflip=bool(d.get("device_hflip", False)),
         )
 
 

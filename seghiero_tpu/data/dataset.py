@@ -38,6 +38,7 @@ class HieroDataset:
         split: str = "train",
         transform: Optional[JointTransform] = None,
         seed: int = 0,
+        include_levels: bool = True,
     ):
         if split not in ("train", "val"):
             raise ValueError("split must be 'train' or 'val'")
@@ -45,6 +46,12 @@ class HieroDataset:
         self.hierarchy: Hierarchy = config.hierarchy
         self.seed = seed
         self.epoch = 0
+        # the jitted train step derives coarse/super targets on device
+        # from the fine mask (train/steps.py); the trainer's TRAIN loader
+        # passes include_levels=False so the host skips the per-sample
+        # LUT mapping entirely (eval loaders keep it — metrics consume
+        # the level masks)
+        self.include_levels = include_levels
 
         img_dir = config.dataset.image_dir(split)
         msk_dir = config.dataset.mask_dir(split)
@@ -62,10 +69,12 @@ class HieroDataset:
             self.transform = transform
         else:
             self.transform = JointTransform.from_config(config.transform)
-            if split == "val":
-                # deterministic eval: no flips (the reference flips val
-                # batches too via the same transform — we diverge: eval
-                # should be deterministic; resize still applies)
+            if split == "val" or config.transform.device_hflip:
+                # val: deterministic eval — no flips (the reference flips
+                # val batches too via the same transform — we diverge:
+                # eval should be deterministic; resize still applies).
+                # device_hflip: the jitted train step flips image+label
+                # on device (train/steps.py), so the host must not.
                 import dataclasses as _dc
 
                 self.transform = _dc.replace(self.transform, hflip_prob=0.0)
@@ -88,21 +97,39 @@ class HieroDataset:
         )
         image, fine = self.transform(img, fine, rng if self.split == "train" else None)
 
-        h = self.hierarchy
-        out = {
-            "image": image,
-            "fine": fine,
-            "coarse": h.map_fine_labels(fine, "coarse"),
-        }
-        if h.has_super:
-            out["super"] = h.map_fine_labels(fine, "super")
+        out = {"image": image, "fine": fine}
+        if self.include_levels:
+            h = self.hierarchy
+            out["coarse"] = h.map_fine_labels(fine, "coarse")
+            if h.has_super:
+                out["super"] = h.map_fine_labels(fine, "super")
         return out
 
 
-def build_dataset(config: SegHieroConfig, split: str, seed: int = 0):
-    """Dataset factory: file-backed or synthetic per ``dataset.kind``."""
+def build_dataset(
+    config: SegHieroConfig,
+    split: str,
+    seed: int = 0,
+    include_levels: bool = True,
+    verbose: bool = True,
+):
+    """Dataset factory: file-backed or synthetic per ``dataset.kind``;
+    ``dataset.cache: raw`` wraps the file-backed dataset in the decoded
+    memmap cache (data/cache.py)."""
     if config.dataset.kind == "synthetic":
         from seghiero_tpu.data.synthetic import SyntheticShapesDataset
 
         return SyntheticShapesDataset(config, split=split, seed=seed)
-    return HieroDataset(config, split=split, seed=seed)
+    ds = HieroDataset(
+        config, split=split, seed=seed, include_levels=include_levels
+    )
+    if config.dataset.cache == "raw":
+        from seghiero_tpu.data.cache import RawCacheDataset
+
+        return RawCacheDataset(
+            ds,
+            cache_dir=config.dataset.cache_dir,
+            include_levels=include_levels,
+            verbose=verbose,
+        )
+    return ds

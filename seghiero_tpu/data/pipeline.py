@@ -109,12 +109,20 @@ class BatchLoader:
             yield idx[i : i + self.batch_size]
 
     def _make_batch(self, indices) -> Dict[str, np.ndarray]:
-        if self._pool is not None:
-            samples = list(self._pool.map(self.dataset.__getitem__, map(int, indices)))
+        if hasattr(self.dataset, "get_batch") and self._pool is None:
+            # batched fast path (RawCacheDataset): one gather collates
+            # the whole batch — no per-sample dict + np.stack round trip
+            batch = self.dataset.get_batch(indices)
+            pad = self.batch_size - len(indices)
         else:
-            samples = [self.dataset[int(i)] for i in indices]
-        pad = self.batch_size - len(samples)
-        batch = _collate(samples)
+            if self._pool is not None:
+                samples = list(
+                    self._pool.map(self.dataset.__getitem__, map(int, indices))
+                )
+            else:
+                samples = [self.dataset[int(i)] for i in indices]
+            pad = self.batch_size - len(samples)
+            batch = _collate(samples)
         if pad > 0:
             for k, v in batch.items():
                 filler = np.repeat(v[:1], pad, axis=0)

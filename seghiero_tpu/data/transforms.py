@@ -107,6 +107,35 @@ class JointTransform:
         x = gray + (x - gray) * saturation
         return np.clip(x, 0.0, 255.0).astype(np.uint8)
 
+    def apply_arrays(
+        self,
+        arr: np.ndarray,
+        mask: np.ndarray,
+        rng: Optional[np.random.Generator],
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Post-resize augmentation on already-decoded arrays — the part
+        a raw cache (data/cache.py) re-runs each epoch. Consumes ``rng``
+        in the same order as ``__call__`` (scale → flip coin → jitter),
+        so cached and uncached samples are bit-identical for the same
+        (seed, epoch, index)."""
+        if rng is not None and self.scale_range is not None:
+            arr, mask = self._scale_crop(arr, mask, rng)
+        if rng is not None and self.hflip_prob > 0 and rng.random() < self.hflip_prob:
+            if self.backend == "native":
+                from seghiero_tpu.data import native
+
+                arr = native.hflip_u8(np.ascontiguousarray(arr))
+                mask = native.hflip_i32(np.ascontiguousarray(mask, np.int32))
+            else:
+                arr = arr[:, ::-1]
+                mask = mask[:, ::-1]
+        if rng is not None and self.color_jitter > 0:
+            arr = self._jitter(arr, rng)
+        return (
+            np.ascontiguousarray(arr),
+            np.ascontiguousarray(mask.astype(np.int32, copy=False)),
+        )
+
     def __call__(
         self, img: Image.Image, mask: np.ndarray, rng: Optional[np.random.Generator]
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -119,33 +148,13 @@ class JointTransform:
             if self.resize is not None:
                 arr = native.resize_bilinear_u8(arr, self.resize)
                 mask = native.resize_nearest_i32(mask, self.resize)
-            if rng is not None and self.scale_range is not None:
-                arr, mask = self._scale_crop(arr, mask, rng)
-                mask = np.ascontiguousarray(mask, np.int32)
-            if (
-                rng is not None
-                and self.hflip_prob > 0
-                and rng.random() < self.hflip_prob
-            ):
-                arr = native.hflip_u8(np.ascontiguousarray(arr))
-                mask = native.hflip_i32(np.ascontiguousarray(mask))
-            if rng is not None and self.color_jitter > 0:
-                arr = self._jitter(arr, rng)
-            return arr, mask
-
-        if self.resize is not None:
-            h, w = self.resize
-            img = img.resize((w, h), Image.BILINEAR)  # PIL wants (W, H)
-            mask = resize_mask_nearest(mask, (h, w))
-        arr = np.asarray(img, dtype=np.uint8)
-        if rng is not None and self.scale_range is not None:
-            arr, mask = self._scale_crop(arr, mask, rng)
-        if rng is not None and self.hflip_prob > 0 and rng.random() < self.hflip_prob:
-            arr = arr[:, ::-1]
-            mask = mask[:, ::-1]
-        if rng is not None and self.color_jitter > 0:
-            arr = self._jitter(arr, rng)
-        return np.ascontiguousarray(arr), np.ascontiguousarray(mask.astype(np.int32))
+        else:
+            if self.resize is not None:
+                h, w = self.resize
+                img = img.resize((w, h), Image.BILINEAR)  # PIL wants (W, H)
+                mask = resize_mask_nearest(mask, (h, w))
+            arr = np.asarray(img, dtype=np.uint8)
+        return self.apply_arrays(arr, mask, rng)
 
     @classmethod
     def from_config(cls, tf: TransformConfig) -> "JointTransform":
