@@ -728,7 +728,14 @@ def _emit(out: dict, final: bool = False):
     details = out.get("details")
     compact = {k: v for k, v in out.items() if k != "details"}
     if details is not None:
-        print("# details: " + json.dumps(details), file=sys.stderr, flush=True)
+        # the '#' prefix keeps this line non-JSON so only the compact
+        # line below is parseable; printing it to stdout right before
+        # the final line keeps (most of) the details inside the
+        # driver's stdout tail window for the record
+        line = "# details: " + json.dumps(details)
+        if final:
+            print(line, flush=True)
+        print(line, file=sys.stderr, flush=True)
         try:
             here = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(here, "bench_details.json"), "w") as f:
