@@ -77,23 +77,28 @@ class CheckpointManager:
         self._ckptr.wait_until_finished()
         step = int(jax.device_get(state.step))
         step_dir = self._step_dir(step)
+        # the Orbax save is COLLECTIVE in a multi-process run (every
+        # process must call it; the primary commits); the JSON sidecars
+        # and GC are primary-only — concurrent identical writes are
+        # merely racy on a shared FS, concurrent rmtree is not
         self._ckptr.save(os.path.join(step_dir, "state"), state, force=True)
-        meta = {
-            "step": step,
-            "epoch": epoch,
-            "metrics": {k: v for k, v in metrics.items() if v is not None},
-            "best_val_loss": best_val_loss,
-            "config": config_raw,
-        }
-        # the async save commits `state/` via tmp-dir rename later; the
-        # sidecar must not rely on the step dir existing yet
-        os.makedirs(step_dir, exist_ok=True)
-        with open(self._meta_path(step_dir), "w") as f:
-            json.dump(meta, f, indent=1, default=float)
-        if is_best:
-            with open(os.path.join(self.root, "best.json"), "w") as f:
-                json.dump({"step": step}, f)
-        self._gc(keep_best=True)
+        if jax.process_index() == 0:
+            meta = {
+                "step": step,
+                "epoch": epoch,
+                "metrics": {k: v for k, v in metrics.items() if v is not None},
+                "best_val_loss": best_val_loss,
+                "config": config_raw,
+            }
+            # the async save commits `state/` via tmp-dir rename later;
+            # the sidecar must not rely on the step dir existing yet
+            os.makedirs(step_dir, exist_ok=True)
+            with open(self._meta_path(step_dir), "w") as f:
+                json.dump(meta, f, indent=1, default=float)
+            if is_best:
+                with open(os.path.join(self.root, "best.json"), "w") as f:
+                    json.dump({"step": step}, f)
+            self._gc(keep_best=True)
         return step_dir
 
     def wait(self):

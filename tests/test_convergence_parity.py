@@ -241,3 +241,170 @@ def test_convergence_miou_matches_reference_2level(rng, classes_2level):
     # ~0.013 coarse)
     assert abs(miou["ours_fine"] - miou["torch_fine"]) < 0.05, miou
     assert abs(miou["ours_coarse"] - miou["torch_coarse"]) < 0.05, miou
+
+
+def test_convergence_miou_full_model_2level(rng, classes_2level):
+    """Round-4 verdict ask #3: the same north-star check with the
+    backbone UNFROZEN — full-model SGD on both sides from identical
+    converted weights. The torch side runs a dependency-free twin of the
+    reference backbone (tests/torch_resnet_minimal.py mirrors
+    /root/reference/models/backbone/resnet.py:6-75 without torchvision),
+    initialized via models/torch_convert.export_reference_backbone, so
+    conv stacks, BN, residuals, head, aux head, and the composite loss
+    all train end to end on both frameworks."""
+    import torch
+
+    from seghiero_tpu.models.torch_convert import export_reference_backbone
+    from seghiero_tpu.train.steps import _forward_losses
+    from torch_resnet_minimal import MinimalResNetBackbone
+
+    cfg = _cfg(classes_2level, fast_losses=True)
+    h = cfg.hierarchy
+    composite = make_composite_loss(cfg)
+    batches = _learnable_batches(rng, h.n_fine)
+    sched = [40_000 + i for i in range(N_STEPS)]
+
+    model = build_model(cfg)
+    variables = model.init(
+        jax.random.key(11), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+
+    # ---- torch twin: backbone + head + aux from identical weights ----
+    bb = MinimalResNetBackbone(cfg.model.depth)
+    bb.load_state_dict(
+        export_reference_backbone(
+            jax.device_get(variables["params"]["backbone"]),
+            jax.device_get(variables["batch_stats"]["backbone"]),
+            cfg.model.depth,
+        ),
+        strict=True,
+    )
+    bb.train()
+    # feature channels for r18: c1=64, c3=256, c4=512
+    ref_head, ref_aux = _torch_modules(cfg, variables, (64, 256, 512))
+    ref_loss = RefHieraTripletLoss(
+        num_classes=h.n_fine,
+        hiera_map=h.fine_to_coarse.tolist(),
+        hiera_index=[list(r) for r in h.coarse_ranges],
+    )
+    opt = torch.optim.SGD(
+        list(bb.parameters())
+        + list(ref_head.parameters())
+        + list(ref_aux.parameters()),
+        lr=LR, momentum=MOMENTUM, weight_decay=WD,
+    )
+    t_mean = torch.tensor(cfg.transform.normalize_mean).view(1, 3, 1, 1)
+    t_std = torch.tensor(cfg.transform.normalize_std).view(1, 3, 1, 1)
+
+    def torch_norm(images_np):
+        x = torch.from_numpy(
+            np.ascontiguousarray(np.moveaxis(images_np, -1, 1))
+        ).float() / 255.0
+        return (x - t_mean) / t_std
+
+    def torch_full_step(images_np, labels_np, s):
+        opt.zero_grad()
+        c1, _c2, c3, c4 = bb(torch_norm(images_np))
+        main_logits, embedding = ref_head([c1, None, None, c4])
+        H, W = labels_np.shape[-2:]
+        logit_before = F.interpolate(
+            main_logits, scale_factor=0.5, mode="bilinear", align_corners=False
+        )
+        logit_after = F.interpolate(
+            main_logits, size=(H, W), mode="bilinear", align_corners=False
+        )
+        main = ref_loss(
+            torch.tensor([s]),
+            embedding,
+            logit_before[:, : h.n_fine],
+            logit_after,
+            torch.from_numpy(labels_np).long(),
+        )
+        aux_logits = F.interpolate(
+            ref_aux(c3), size=(H, W), mode="bilinear", align_corners=False
+        )
+        aux = nn.CrossEntropyLoss(ignore_index=255)(
+            aux_logits, torch.from_numpy(labels_np).long()
+        )
+        loss = main + 0.4 * aux
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    # ---- our side: ALL params trainable (the real train-step math) ----
+    params = variables["params"]
+    bstats = variables["batch_stats"]
+    tx = make_optimizer(cfg.training)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, bs, batch, sched_step):
+        loss, *_rest, new_bs = _forward_losses(
+            model, composite, cfg,
+            {"params": p, "batch_stats": bs}, batch, sched_step, train=True,
+        )
+        return loss, new_bs
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+    ours_losses, torch_losses = [], []
+    for i, s in enumerate(sched):
+        images_np, labels_np = batches[i % N_BATCHES]
+        batch = {
+            "image": jnp.asarray(images_np),
+            "fine": jnp.asarray(labels_np),
+        }
+        (loss, new_bs), grads = grad_fn(params, bstats, batch, jnp.asarray(s))
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        bstats = new_bs
+        ours_losses.append(float(loss))
+        torch_losses.append(torch_full_step(images_np, labels_np, s))
+
+    assert np.mean(ours_losses[-8:]) < 0.5 * np.mean(ours_losses[:8])
+    assert np.mean(torch_losses[-8:]) < 0.5 * np.mean(torch_losses[:8])
+
+    # ---- final quality, same metric code both sides ----
+    final_vars = {"params": params, "batch_stats": bstats}
+    f2c = np.asarray(h.fine_to_coarse)
+    cm = {
+        "ours_fine": 0, "ours_coarse": 0,
+        "torch_fine": 0, "torch_coarse": 0,
+    }
+    for images_np, labels_np in batches:
+        coarse_labels = np.where(
+            labels_np == 255, 255, f2c[np.minimum(labels_np, h.n_fine - 1)]
+        )
+        lg_ours = _logits_full(model, cfg, final_vars, images_np)
+        with torch.no_grad():
+            c1, _c2, _c3, c4 = bb(torch_norm(images_np))
+            t_logits, _ = ref_head([c1, None, None, c4])
+            t_logits = F.interpolate(
+                t_logits, size=labels_np.shape[-2:], mode="bilinear",
+                align_corners=False,
+            )
+            lg_torch = np.moveaxis(t_logits.numpy(), 1, -1)
+        for tag, lg in (("ours", lg_ours), ("torch", lg_torch)):
+            pred_f = np.argmax(lg[..., : h.n_fine], axis=-1)
+            pred_c = np.argmax(
+                lg[..., h.n_fine : h.n_fine + h.n_coarse], axis=-1
+            )
+            cm[f"{tag}_fine"] = cm[f"{tag}_fine"] + np.asarray(
+                confusion_matrix(
+                    jnp.asarray(pred_f), jnp.asarray(labels_np), h.n_fine
+                )
+            )
+            cm[f"{tag}_coarse"] = cm[f"{tag}_coarse"] + np.asarray(
+                confusion_matrix(
+                    jnp.asarray(pred_c), jnp.asarray(coarse_labels), h.n_coarse
+                )
+            )
+
+    miou = {k: miou_from_confusion(v) for k, v in cm.items()}
+    print(f"full-model convergence mIoU after {N_STEPS} steps: {miou}")
+    # a trainable backbone lifts quality well above the frozen variant
+    assert miou["ours_fine"] > 0.3, miou
+    assert miou["torch_fine"] > 0.3, miou
+    assert miou["ours_coarse"] > 0.5, miou
+    assert miou["torch_coarse"] > 0.5, miou
+    assert abs(miou["ours_fine"] - miou["torch_fine"]) < 0.05, miou
+    assert abs(miou["ours_coarse"] - miou["torch_coarse"]) < 0.05, miou
