@@ -38,6 +38,10 @@ ARTIFACT_NAME = "model.jaxexp"
 META_NAME = "meta.json"
 
 
+def size_artifact_name(hw: Tuple[int, int]) -> str:
+    return f"model_{hw[0]}x{hw[1]}.jaxexp"
+
+
 def export_predictor(
     predictor,
     out_dir: str,
@@ -46,6 +50,7 @@ def export_predictor(
     out_hw: Optional[Tuple[int, int]] = None,
     platforms: Optional[Sequence[str]] = None,
     consistent: bool = False,
+    input_sizes: Optional[Sequence[Tuple[int, int]]] = None,
 ) -> Dict:
     """Serialize ``predictor`` to ``out_dir``; returns the meta dict.
 
@@ -62,6 +67,15 @@ def export_predictor(
     shape the model was trained at); ``out_hw`` defaults to
     ``input_hw``. ``platforms`` defaults to the current backend plus
     cpu (cross-platform lowering needs no tpu attached).
+
+    ``input_sizes``: optional EXTRA input shapes to export alongside the
+    primary (round-4 verdict ask #8 — a server that resizes every
+    request to one trained size silently loses resolution on larger
+    images). Each size gets its own serialized program
+    (``model_<H>x<W>.jaxexp``, masks at that same size); the serving
+    daemon routes each request to the smallest bucket that covers it
+    (serve/server.py). The primary stays ``model.jaxexp`` — existing
+    artifacts and loaders are unaffected.
     """
     cfg = predictor.cfg
     h = cfg.hierarchy
@@ -72,6 +86,10 @@ def export_predictor(
             "transform.resize in the config"
         )
     out_hw = tuple(out_hw or input_hw)
+    sizes = [tuple(int(x) for x in s) for s in (input_sizes or ())]
+    if any(len(s) != 2 or s[0] <= 0 or s[1] <= 0 for s in sizes):
+        raise ValueError(f"input_sizes must be positive (H, W) pairs: {sizes}")
+    sizes = sorted({s for s in sizes if s != tuple(input_hw)})
     if platforms is None:
         backend = jax.default_backend()
         platforms = (backend, "cpu") if backend != "cpu" else ("cpu",)
@@ -94,38 +112,48 @@ def export_predictor(
     def _mask_dtype(n: int):
         return jnp.uint8 if n <= 256 else jnp.int32
 
-    def serve(images_u8):
-        images = normalize_images(images_u8, mean, std)
-        out = model.apply(variables, images, train=False)
-        lo = jnp.transpose(out["logits"], (0, 3, 1, 2))  # C-major argmax
-        b, c = lo.shape[:2]
-        logits = jax.image.resize(
-            lo, (b, c, out_hw[0], out_hw[1]), "linear", antialias=False
-        )
-        preds = {
-            lvl: jnp.argmax(logits[:, lo_:hi_], axis=1).astype(
-                _mask_dtype(hi_ - lo_)
+    def make_serve(o_hw):
+        def serve(images_u8):
+            images = normalize_images(images_u8, mean, std)
+            out = model.apply(variables, images, train=False)
+            lo = jnp.transpose(out["logits"], (0, 3, 1, 2))  # C-major argmax
+            b, c = lo.shape[:2]
+            logits = jax.image.resize(
+                lo, (b, c, o_hw[0], o_hw[1]), "linear", antialias=False
             )
-            for lvl, (lo_, hi_) in slices.items()
-        }
-        if consistent:
-            fine_i = preds["fine"].astype(jnp.int32)
-            preds["coarse"] = jnp.asarray(f2c)[fine_i].astype(
-                _mask_dtype(h.n_coarse)
-            )
-            if f2s is not None:
-                preds["super"] = jnp.asarray(f2s)[fine_i].astype(
-                    _mask_dtype(h.n_super)
+            preds = {
+                lvl: jnp.argmax(logits[:, lo_:hi_], axis=1).astype(
+                    _mask_dtype(hi_ - lo_)
                 )
-        return preds
+                for lvl, (lo_, hi_) in slices.items()
+            }
+            if consistent:
+                fine_i = preds["fine"].astype(jnp.int32)
+                preds["coarse"] = jnp.asarray(f2c)[fine_i].astype(
+                    _mask_dtype(h.n_coarse)
+                )
+                if f2s is not None:
+                    preds["super"] = jnp.asarray(f2s)[fine_i].astype(
+                        _mask_dtype(h.n_super)
+                    )
+            return preds
 
-    (bdim,) = jax.export.symbolic_shape("b")
-    spec = jax.ShapeDtypeStruct((bdim, input_hw[0], input_hw[1], 3), jnp.uint8)
-    exported = jax.export.export(jax.jit(serve), platforms=list(platforms))(spec)
+        return serve
+
+    def export_one(in_hw, o_hw):
+        (bdim,) = jax.export.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((bdim, in_hw[0], in_hw[1], 3), jnp.uint8)
+        return jax.export.export(
+            jax.jit(make_serve(o_hw)), platforms=list(platforms)
+        )(spec)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, ARTIFACT_NAME), "wb") as f:
-        f.write(exported.serialize())
+        f.write(export_one(input_hw, out_hw).serialize())
+    # extra shape buckets: masks come back at the bucket's own size
+    for s in sizes:
+        with open(os.path.join(out_dir, size_artifact_name(s)), "wb") as f:
+            f.write(export_one(s, s).serialize())
     meta = {
         "input": {
             "shape": ["b", input_hw[0], input_hw[1], 3],
@@ -156,6 +184,14 @@ def export_predictor(
         "consistent_decode": bool(consistent),
         "platforms": list(platforms),
         "jax_version": jax.__version__,
+        # all exported input shapes (primary first) and the artifact file
+        # serving each; the daemon routes requests to the smallest
+        # covering bucket
+        "input_sizes": [list(input_hw)] + [list(s) for s in sizes],
+        "size_artifacts": {
+            f"{input_hw[0]}x{input_hw[1]}": ARTIFACT_NAME,
+            **{f"{s[0]}x{s[1]}": size_artifact_name(s) for s in sizes},
+        },
     }
     with open(os.path.join(out_dir, META_NAME), "w") as f:
         json.dump(meta, f, indent=1)

@@ -90,6 +90,74 @@ def _drive(url: str, hw, concurrency: int, n_requests: int):
     }
 
 
+def _drive_mixed(url: str, sizes, concurrency: int, n_requests: int):
+    """Mixed-size closed-loop drive (round-4 verdict ask #8): each worker
+    cycles through ``sizes``; asserts every 200 response's mask comes
+    back at the REQUEST's own size (no silent downsizing)."""
+    rng = np.random.default_rng(0)
+    bodies = []
+    for hw in sizes:
+        img = rng.integers(0, 256, (hw[0], hw[1], 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        bodies.append((tuple(hw), buf.getvalue()))
+
+    latencies, codes = [], []
+    shape_ok = [0]
+    lock = threading.Lock()
+
+    def worker(k: int, start: int):
+        for j in range(k):
+            hw, body = bodies[(start + j) % len(bodies)]
+            req = urllib.request.Request(
+                url + "/predict?format=npz", data=body, method="POST"
+            )
+            req.add_header("Content-Type", "application/octet-stream")
+            t0 = time.perf_counter()
+            ok_shape = False
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    payload = r.read()
+                    code = r.status
+                with np.load(io.BytesIO(payload)) as z:
+                    ok_shape = tuple(z["fine"].shape) == hw
+            except urllib.error.HTTPError as e:
+                e.read()
+                code = e.code
+            dt = time.perf_counter() - t0
+            with lock:
+                latencies.append(dt)
+                codes.append(code)
+                shape_ok[0] += int(ok_shape)
+
+    share, extra = divmod(n_requests, concurrency)
+    threads = [
+        threading.Thread(
+            target=worker, args=(share + (1 if i < extra else 0), i)
+        )
+        for i in range(concurrency)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    ok = [l for l, c in zip(latencies, codes) if c == 200]
+    n_ok = sum(1 for c in codes if c == 200)
+    return {
+        "sizes": [list(s) for s, _ in bodies],
+        "concurrency": concurrency,
+        "requests": n_requests,
+        "ok": n_ok,
+        "responses_at_request_size": shape_ok[0],
+        "wall_s": round(wall, 3),
+        "img_per_sec": round(n_ok / wall, 2),
+        "p50_ms": round(_percentile(ok, 50) * 1e3, 1),
+        "p99_ms": round(_percentile(ok, 99) * 1e3, 1),
+    }
+
+
 def _start_server(artifact: str, max_batch: int, port: int, max_queue: int):
     from seghiero_tpu.serve.server import ServingModel, make_server
 
@@ -140,6 +208,12 @@ def main(argv=None):
                    "concurrency >> throughput expect shed_503 > 0")
     p.add_argument("--compare", action="store_true",
                    help="also run the sweep at max_batch 1 (coalescing off)")
+    p.add_argument("--input-sizes", default=None,
+                   help="extra shape buckets for on-the-fly export, e.g. "
+                   "'768x768,1024x1024'; also enables the mixed-size "
+                   "drive (one request size per bucket + a 2x-of-primary "
+                   "odd size), which asserts responses keep the request's "
+                   "own resolution")
     p.add_argument("--platform", default=None)
     p.add_argument("--json", default=None, help="write results to this file")
     args = p.parse_args(argv)
@@ -177,7 +251,11 @@ def main(argv=None):
             )
             predictor = Predictor(cfg, variables)
         artifact = tempfile.mkdtemp(prefix="seghiero_servebench_")
-        export_predictor(predictor, artifact)
+        sizes = None
+        if args.input_sizes:
+            sizes = [tuple(int(x) for x in s.split("x"))
+                     for s in args.input_sizes.split(",")]
+        export_predictor(predictor, artifact, input_sizes=sizes)
         print(f"# exported artifact to {artifact}", file=sys.stderr)
 
     conc = [int(c) for c in args.concurrency.split(",")]
@@ -188,6 +266,21 @@ def main(argv=None):
         results["no_batching"] = run_sweep(
             artifact, 1, conc, args.requests, args.max_queue
         )
+    if args.input_sizes:
+        server, model = _start_server(artifact, args.max_batch, 0,
+                                      args.max_queue)
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            h0, w0 = model.input_hw
+            drive_sizes = list(model.input_sizes) + [(2 * h0 - 7, 2 * w0 - 7)]
+            row = _drive_mixed(url, drive_sizes, max(conc), args.requests)
+            row["batch_sizes"] = server.batcher.stats["batch_sizes"]
+            results["mixed_sizes"] = row
+            print(json.dumps(row))
+        finally:
+            server.batcher.stop()
+            server.shutdown()
+            server.server_close()
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=1)
