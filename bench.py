@@ -182,6 +182,7 @@ def build(spec: dict):
                     else {}
                 ),
                 **({"backbone": spec["backbone"]} if spec.get("backbone") else {}),
+                **({"stem": spec["stem"]} if spec.get("stem") else {}),
                 **(
                     {"backbone_options": {"variant": spec["backbone_variant"]}}
                     if spec.get("backbone_variant")
@@ -954,6 +955,24 @@ def orchestrate(args, base_spec: dict):
         results[str(cid)] = point(cid, cap=cap)
         emit_partial()
 
+    # 3b. config-3 repeatability (round-4 verdict ask #6: the ~11%
+    #     cfg3 swing had no spread data): re-run the point twice in the
+    #     same warm worker and report min/median/spread
+    reps = [results["3"]] + [point(3, cap=180) for _ in range(2)]
+    vals = sorted(
+        r["images_per_sec_per_chip"]
+        for r in reps
+        if isinstance(r, dict) and "images_per_sec_per_chip" in r
+    )
+    if vals:
+        results["cfg3_repeats"] = {
+            "values": [round(v, 2) for v in vals],
+            "min": round(vals[0], 2),
+            "median": round(vals[len(vals) // 2], 2),
+            "spread_pct": round(100 * (vals[-1] - vals[0]) / vals[-1], 2),
+        }
+    emit_partial()
+
     if not args.no_sweep:
         # rmi_precision: fast — the bf16-Gram RMI mode (+17% on config 3
         # in DESIGN.md; default stays parity, decision 23)
@@ -1109,6 +1128,15 @@ def main():
         "re-measurement",
     )
     p.add_argument(
+        "--stem",
+        type=str,
+        default=None,
+        choices=("conv7", "s2d"),
+        help="model.stem for resnet backbones — 's2d' is the MLPerf-style "
+        "space-to-depth stem (same math; see models/resnet.py StemConv); "
+        "re-measurement knob for DESIGN.md decision tracking",
+    )
+    p.add_argument(
         "--remat",
         action="store_true",
         help="model.remat (backbone gradient checkpointing) for the "
@@ -1185,6 +1213,7 @@ def main():
     base_spec = dict(
         steps=args.steps,
         dtype=args.dtype,
+        stem=args.stem,
         rmi_precision=args.rmi_precision,
         hiera_precision=args.hiera_precision,
         steps_per_dispatch=args.steps_per_dispatch,
