@@ -284,7 +284,9 @@ def run_train_bench(trainer, batch, steps: int, min_time_s: float = 1.0):
             print(f"# window {dt:.2f}s < {min_time_s}s; re-timing over "
                   f"{calls} dispatches", file=sys.stderr, flush=True)
             dt, loss = timed(calls)
-        return dt, loss, calls * k, flops
+        # median-of-3 windows — same stall robustness as the per-step path
+        dts = sorted((dt, timed(calls)[0], timed(calls)[0]))
+        return dts[1], loss, calls * k, flops
     step_fn = _aot(trainer._train_step, state, batch, epoch)
     flops = _flops_of(step_fn)
     for i in range(3):
@@ -308,7 +310,17 @@ def run_train_bench(trainer, batch, steps: int, min_time_s: float = 1.0):
         print(f"# window {dt:.2f}s < {min_time_s}s; re-timing over "
               f"{steps} steps", file=sys.stderr, flush=True)
         dt, loss = timed(steps)
-    return dt, loss, steps, flops
+    # median-of-3 windows (round-4 verdict ask #6): a single timed
+    # window is exposed to one-off relay stalls — measured on config 3,
+    # 4 of 5 same-program repeats landed within ±0.05% and one fell
+    # 10.7% (an execution-time transient, same compiled program). Two
+    # more windows cost ~2× the window and the median ignores one stall.
+    dt2, loss = timed(steps)
+    dt3, loss = timed(steps)
+    dts = sorted((dt, dt2, dt3))
+    print(f"# windows s/step: {', '.join(f'{d / steps:.5f}' for d in dts)} "
+          f"(median reported)", file=sys.stderr, flush=True)
+    return dts[1], loss, steps, flops
 
 
 def run_infer_bench(trainer, batch, steps: int, spd: int = 1):
@@ -386,7 +398,9 @@ def run_infer_bench(trainer, batch, steps: int, spd: int = 1):
         print(f"# window {dt:.2f}s < 1.0s; re-timing over {calls} calls",
               file=sys.stderr, flush=True)
         dt = timed(calls)
-    return dt, 0.0, calls * per_call, flops
+    # median-of-3 windows — same stall robustness as run_train_bench
+    dts = sorted((dt, timed(calls), timed(calls)))
+    return dts[1], 0.0, calls * per_call, flops
 
 
 def _gen_pipeline_dataset(root: str, n: int, hw: int, classes: dict):
@@ -525,6 +539,49 @@ def pipeline_bench(spec: dict) -> dict:
             res["host"][variant] = f"error: {type(e).__name__}: {e}"
         print(f"# pipeline host[{variant}]: {res['host'][variant]} img/s",
               file=sys.stderr, flush=True)
+
+    # --- H2D transfer attribution: device_put alone, no model ---------
+    # On tunneled-relay runtimes the host→device link, not host decode,
+    # caps fed throughput (measured round 5: ~8.4 MB/batch at ~75 MB/s
+    # ≈ 111 ms vs a 34 ms step); this point pins that number so the fed
+    # gap is attributable. On a local-PCIe TPU VM this is <1 ms/batch.
+    def h2d_run():
+        import jax
+        import jax.numpy as jnp
+
+        cfg = SegHieroConfig.from_dict(
+            _pipe_cfg_dict(root, hw, batch, classes, depth, dtype,
+                           "cache_devflip")
+        )
+        ds = build_dataset(cfg, "train", include_levels=False, verbose=False)
+        # two distinct host batches, alternated so no transfer can be
+        # elided as a repeat of the previous buffer
+        b0 = ds.get_batch(list(range(batch)))
+        b1 = ds.get_batch(list(range(batch, 2 * batch)))
+        nbytes = sum(v.nbytes for v in b0.values())
+        consume = jax.jit(
+            lambda b: b["image"].astype(jnp.int32).sum()
+            + b["fine"].astype(jnp.int32).sum()
+        )
+        jax.device_get(consume(jax.device_put(b0)))  # compile + warm
+        _hb("exec")
+        reps = 3 if dry else 10
+        t0 = time.perf_counter()
+        for i in range(reps):
+            jax.device_get(consume(jax.device_put(b0 if i % 2 else b1)))
+        dt = (time.perf_counter() - t0) / reps
+        return {
+            "batch_mb": round(nbytes / 2**20, 2),
+            "ms_per_batch": round(dt * 1e3, 1),
+            "mb_per_s": round(nbytes / 2**20 / dt, 1),
+        }
+
+    _hb("build")
+    try:
+        res["h2d"] = h2d_run()
+    except Exception as e:
+        res["h2d"] = f"error: {type(e).__name__}: {e}"
+    print(f"# pipeline h2d: {res['h2d']}", file=sys.stderr, flush=True)
 
     # --- fed training: loader → device_put → real train step ----------
     def fed_run(variant: str):
