@@ -25,13 +25,23 @@ def _run(args, timeout=900):
 def test_bench_dry_run_contract():
     r = _run(["bench.py", "--dry-run", "--config", "2"])
     assert r.returncode == 0, (r.stderr or r.stdout)[-2000:]
-    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    lines = r.stdout.strip().splitlines()
+    # the FINAL line is the compact 4-key dict (round-4 artifact had
+    # parsed:null because details overflowed the driver's tail window)
+    rec = json.loads(lines[-1])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
     assert rec["unit"] == "images/sec/chip"
-    det = rec["details"]["2"]
-    assert det["images_per_sec_per_chip"] > 0
-    assert det["seconds_per_step"] > 0
+    assert rec["value"] > 0
     # the driver divides by BASELINE; the field must exist and be finite
     assert rec["vs_baseline"] > 0
+    # full details ride a '#'-prefixed stdout line + bench_details.json
+    det_lines = [l for l in lines if l.startswith("# details: ")]
+    assert det_lines, lines
+    det = json.loads(det_lines[-1][len("# details: "):])["2"]
+    assert det["images_per_sec_per_chip"] > 0
+    assert det["seconds_per_step"] > 0
+    with open(os.path.join(REPO, "bench_details.json")) as f:
+        assert json.load(f)["details"]["2"]["images_per_sec_per_chip"] > 0
 
 
 def test_bench_dry_run_fine_classes_gather_path():
@@ -41,7 +51,26 @@ def test_bench_dry_run_fine_classes_gather_path():
               "--fine-classes", "150"])
     assert r.returncode == 0, (r.stderr or r.stdout)[-2000:]
     rec = json.loads(r.stdout.strip().splitlines()[-1])
-    assert rec["details"]["2"]["images_per_sec_per_chip"] > 0
+    assert rec["value"] > 0
+
+
+def test_bench_pipeline_dry_run():
+    """--pipeline (fed input-pipeline benchmark, round-4 verdict ask #1):
+    host-only rates per backend, H2D attribution, and two fed train runs
+    must all produce numbers on the CPU dry path."""
+    r = _run(["bench.py", "--pipeline", "--dry-run"])
+    assert r.returncode == 0, (r.stderr or r.stdout)[-2000:]
+    lines = r.stdout.strip().splitlines()
+    rec = json.loads(lines[-1])
+    assert rec["metric"] == "pipeline_fed_images_per_sec_per_chip"
+    assert rec["value"] > 0
+    det_lines = [l for l in lines if l.startswith("# details: ")]
+    det = json.loads(det_lines[-1][len("# details: "):])
+    for variant in ("pil", "pil_w4", "native", "cache", "cache_devflip"):
+        assert det["host"][variant] > 0, det["host"]
+    assert det["h2d"]["mb_per_s"] > 0
+    for fed in ("fed_pil", "fed_cache_devflip"):
+        assert det[fed]["images_per_sec"] > 0, det[fed]
 
 
 def test_xla_sweep_dry_run():

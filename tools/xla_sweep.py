@@ -84,9 +84,14 @@ def run_combo(name: str, opts: str, cid: int, steps: int,
         tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
         return dict(name=name, compiler_options=opts,
                     error=" | ".join(tail), wall_s=round(wall, 1))
-    line = proc.stdout.strip().splitlines()[-1]
-    rec = json.loads(line)
-    det = rec["details"][str(cid)]
+    lines = proc.stdout.strip().splitlines()
+    # details moved off the compact final line (bench _emit): read the
+    # '#'-prefixed details line instead
+    det_lines = [l for l in lines if l.startswith("# details: ")]
+    if det_lines:
+        det = json.loads(det_lines[-1][len("# details: "):])[str(cid)]
+    else:  # pre-round-5 bench fallback
+        det = json.loads(lines[-1])["details"][str(cid)]
     if "error" in det:
         return dict(name=name, compiler_options=opts, error=det["error"],
                     wall_s=round(wall, 1))
