@@ -117,19 +117,36 @@ def test_bench_worker_protocol():
 
 def test_bench_orchestrator_dry_run_partial_and_final_json():
     """--dry-run --all drives the real orchestrator (worker subprocess,
-    partial emits, budget): the stdout must contain at least one partial
-    headline line and end with the final enriched JSON."""
-    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_BUDGET_S="240")
+    partial emits, budget): stdout must contain >=1 partial compact
+    line, '#'-prefixed details lines (partial ones tagged), and end
+    with the final compact JSON whose details line carries every
+    BASELINE config."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_BUDGET_S="600")
     r = subprocess.run(
         [sys.executable, "bench.py", "--dry-run", "--all", "--no-sweep"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
     )
     assert r.returncode == 0, (r.stderr or r.stdout)[-2000:]
-    recs = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    lines = r.stdout.splitlines()
+    recs = [json.loads(l) for l in lines if l.startswith("{")]
     assert len(recs) >= 2  # >=1 partial + the final
-    assert recs[0]["details"].get("partial") is True
-    final = recs[-1]
-    assert "partial" not in final["details"]
-    assert final["details"]["2"]["images_per_sec_per_chip"] > 0
+    for rec in recs:  # every stdout JSON line is the compact dict
+        assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert recs[-1]["value"] > 0
+    det_lines = [l for l in lines if l.startswith("# details: ")]
+    assert det_lines
+    dets = [json.loads(l[len("# details: "):]) for l in det_lines]
+    # partial details ride stderr only (stdout stays tail-friendly)
+    err_dets = [
+        json.loads(l[len("# details: "):])
+        for l in r.stderr.splitlines()
+        if l.startswith("# details: ")
+    ]
+    assert any(d.get("partial") for d in err_dets)
+    final = dets[-1]
+    assert "partial" not in final
+    assert final["2"]["images_per_sec_per_chip"] > 0
     # every BASELINE config key is present (measured, error, or skipped)
-    assert set("12345") <= set(final["details"])
+    assert set("12345") <= set(final)
+    # the round-5 additions ride along
+    assert "pipeline" in final and "cfg3_repeats" in final
