@@ -183,3 +183,40 @@ def test_device_hflip_disables_host_flip_and_matches_manual_flip(
     np.testing.assert_allclose(
         np.asarray(loss_dev), np.asarray(loss_ref), rtol=1e-6
     )
+
+
+@pytest.mark.medium
+def test_trainer_e2e_with_cache_and_device_flip(tmp_path, classes_2level):
+    """Full Trainer epoch over the raw cache with device-side flips:
+    loaders wire include_levels correctly (train batches image+fine
+    only, val keeps levels for metrics), the epoch completes, and a
+    checkpoint lands."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    _write_files(tmp_path / "data", n=6, hw=(24, 24))
+    cfg0 = _cfg(tmp_path, classes_2level, device_hflip=True)
+    import dataclasses as dc
+
+    cfg = dc.replace(
+        cfg0,
+        model=dc.replace(
+            cfg0.model, depth=18, dtype="float32",
+            aspp_channels=16, c1_channels=8, proj_dim=8,
+        ),
+        training=dc.replace(
+            cfg0.training, epochs=1, batch_size=2, lr=0.01, num_workers=0
+        ),
+    )
+    from seghiero_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfg, verbose=False)
+    assert set(next(iter(trainer.train_loader))) == {"image", "fine"}
+    val_batch = next(iter(trainer.val_loader))
+    assert {"image", "fine", "coarse"} <= set(val_batch)
+    history = trainer.fit()
+    assert len(history) == 1 and "val_loss" in history[0]
+    import os
+
+    root = os.path.join(cfg.output.checkpoint_dir, cfg.output.project_name)
+    assert any(d.startswith("step_") for d in os.listdir(root))
