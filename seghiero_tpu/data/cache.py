@@ -95,12 +95,18 @@ class RawCacheDataset:
             if hier.n_fine < 255 and hier.ignore_index == 255
             else np.int32
         )
-        self._lut_coarse = _take_lut(hier.fine_to_coarse, hier.ignore_index)
-        self._lut_super = (
-            _take_lut(hier.fine_to_super, hier.ignore_index)
-            if hier.has_super
-            else None
-        )
+        # the 256-entry take-LUTs only exist for the uint8 storage path;
+        # wide hierarchies (n_fine >= 255 → int32 storage) use
+        # map_fine_labels in get_batch instead
+        if self._fine_dtype == np.uint8:
+            self._lut_coarse = _take_lut(hier.fine_to_coarse, hier.ignore_index)
+            self._lut_super = (
+                _take_lut(hier.fine_to_super, hier.ignore_index)
+                if hier.has_super
+                else None
+            )
+        else:
+            self._lut_coarse = self._lut_super = None
 
         extra = {
             "hw": [h, w],
@@ -116,7 +122,11 @@ class RawCacheDataset:
         )
         self.cache_path = os.path.join(root, f"raw_{self.split}_{fp}")
         self._build_if_missing(verbose)
-        n = len(base)
+        self._open_memmaps()
+
+    def _open_memmaps(self):
+        n = len(self.base)
+        h, w = self._hw
         self.images = np.memmap(
             os.path.join(self.cache_path, "images.u8"),
             np.uint8, "r", shape=(n, h, w, 3),
@@ -125,6 +135,20 @@ class RawCacheDataset:
             os.path.join(self.cache_path, "fine.raw"),
             self._fine_dtype, "r", shape=(n, h, w),
         )
+
+    def __getstate__(self):
+        """Pickle WITHOUT the memmaps: np.memmap serializes as a full
+        in-memory ndarray, so shipping this dataset to loader worker
+        processes (grain) would materialize the whole cache per worker.
+        Workers reopen the maps from the path instead."""
+        state = dict(self.__dict__)
+        state.pop("images", None)
+        state.pop("fine", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._open_memmaps()
 
     # ------------------------------------------------------------------
     def _base_hw(self):
@@ -140,23 +164,30 @@ class RawCacheDataset:
         return (h, w)
 
     def _build_if_missing(self, verbose: bool):
+        """Build into a private tmp dir, then atomically rename into
+        place. Concurrent builders (multi-process training, two jobs
+        sharing a cache_dir) each build their own tmp; the rename loser
+        discards its copy — nobody ever writes into a directory another
+        process may already have memory-mapped."""
         done = os.path.join(self.cache_path, "meta.json")
         if os.path.exists(done):
             return
+        import shutil
         import time
 
         from PIL import Image
 
-        os.makedirs(self.cache_path, exist_ok=True)
+        tmp = f"{self.cache_path}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
         n = len(self.base)
         h, w = self._hw
         t0 = time.perf_counter()
         img_mm = np.memmap(
-            os.path.join(self.cache_path, "images.u8"),
+            os.path.join(tmp, "images.u8"),
             np.uint8, "w+", shape=(n, h, w, 3),
         )
         fin_mm = np.memmap(
-            os.path.join(self.cache_path, "fine.raw"),
+            os.path.join(tmp, "fine.raw"),
             self._fine_dtype, "w+", shape=(n, h, w),
         )
         # decode WITHOUT augmentation (rng=None → resize only): the cache
@@ -172,11 +203,17 @@ class RawCacheDataset:
             fin_mm[i] = mask.astype(self._fine_dtype)
         img_mm.flush()
         fin_mm.flush()
-        with open(done, "w") as f:
+        del img_mm, fin_mm
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(
                 {"n": n, "hw": [h, w], "built_s": time.perf_counter() - t0},
                 f,
             )
+        try:
+            os.rename(tmp, self.cache_path)
+        except OSError:
+            # a concurrent builder won the rename; use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
         if verbose:
             print(
                 f"[data] raw cache built: {n} samples at {h}x{w} in "

@@ -82,9 +82,8 @@ def make_composite_loss(
             warnings.warn(
                 "the hierarchy-derived triplet upper/lower split is "
                 f"one-sided (upper={upper}, lower={lower}): every "
-                "non-background fine class falls in one "
-                f"{'super' if h.has_super else 'coarse'} bucket, so the "
-                "tree-triplet term will never activate. Set "
+                "non-background fine class falls in one super bucket, "
+                "so the tree-triplet term will never activate. Set "
                 "training.triplet_upper_ids / training.triplet_lower_ids "
                 "explicitly to define the positive/negative groups.",
                 stacklevel=2,

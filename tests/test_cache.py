@@ -191,9 +191,8 @@ def test_trainer_e2e_with_cache_and_device_flip(tmp_path, classes_2level):
     loaders wire include_levels correctly (train batches image+fine
     only, val keeps levels for metrics), the epoch completes, and a
     checkpoint lands."""
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
+    # platform pinning comes from tests/conftest.py (env before jax
+    # import) — no process-global jax.config mutation here
     _write_files(tmp_path / "data", n=6, hw=(24, 24))
     cfg0 = _cfg(tmp_path, classes_2level, device_hflip=True)
     import dataclasses as dc
@@ -220,3 +219,58 @@ def test_trainer_e2e_with_cache_and_device_flip(tmp_path, classes_2level):
 
     root = os.path.join(cfg.output.checkpoint_dir, cfg.output.project_name)
     assert any(d.startswith("step_") for d in os.listdir(root))
+
+
+def test_wide_hierarchy_int32_storage_and_pickle(tmp_path):
+    """Review findings (round 5): n_fine >= 257 must take the int32
+    storage path (no 256-entry LUT build crash), and pickling must NOT
+    materialize the memmaps (grain workers reopen them by path)."""
+    import pickle
+
+    root = tmp_path / "data"
+    rng = np.random.default_rng(0)
+    n_fine = 300
+    for split in ("train", "val"):
+        (root / split / "img").mkdir(parents=True)
+        (root / split / "msk").mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 255, (16, 16, 3), np.uint8)
+            ).save(root / split / "img" / f"{i}.png")
+            m = rng.integers(0, n_fine, (16, 16)).astype(np.int32)
+            Image.fromarray(m, mode="I").save(root / split / "msk" / f"{i}.png")
+    cfg = SegHieroConfig.from_dict(
+        {
+            "dataset": {
+                "root": str(root),
+                "train": {"image_subdir": "train/img", "mask_subdir": "train/msk"},
+                "val": {"image_subdir": "val/img", "mask_subdir": "val/msk"},
+                "cache": "raw",
+                "cache_dir": str(tmp_path / "cache"),
+            },
+            "classes": {
+                "coarse_to_fine_map": [
+                    [i * 30, i * 30 + 29] for i in range(10)
+                ],
+                "coarse_names": {i: f"c{i}" for i in range(10)},
+                "fine_names": {i: f"f{i}" for i in range(n_fine)},
+            },
+            "transform": {"resize": [16, 16]},
+            "output": {"checkpoint_dir": str(tmp_path), "project_name": "w"},
+        }
+    )
+    ds = build_dataset(cfg, "train", verbose=False)
+    b = ds.get_batch([0, 1])
+    assert b["fine"].dtype == np.int32
+    assert b["coarse"].shape == (2, 16, 16)
+    # derived levels match the uncached mapping
+    h = cfg.hierarchy
+    np.testing.assert_array_equal(
+        b["coarse"], h.map_fine_labels(np.asarray(b["fine"]), "coarse")
+    )
+    blob = pickle.dumps(ds)
+    assert len(blob) < 100_000, len(blob)  # memmaps not materialized
+    ds2 = pickle.loads(blob)
+    np.testing.assert_array_equal(
+        ds2.get_batch([1])["image"], ds.get_batch([1])["image"]
+    )

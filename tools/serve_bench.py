@@ -145,6 +145,12 @@ def _drive_mixed(url: str, sizes, concurrency: int, n_requests: int):
     wall = time.perf_counter() - t0
     ok = [l for l, c in zip(latencies, codes) if c == 200]
     n_ok = sum(1 for c in codes if c == 200)
+    if shape_ok[0] != n_ok:
+        raise AssertionError(
+            f"{n_ok - shape_ok[0]} of {n_ok} OK responses came back at a "
+            "size other than the request's own — the multi-size routing "
+            "contract is broken"
+        )
     return {
         "sizes": [list(s) for s, _ in bodies],
         "concurrency": concurrency,
