@@ -1001,16 +1001,18 @@ def orchestrate(args, base_spec: dict):
     results["150class"] = point(2, cap=300, fine_classes=150)
     emit_partial()
 
-    # 2b. fed input pipeline (round-4 verdict ask #1): disk → decode →
-    #     augment → device_put → real train step, plus per-backend
-    #     host-only loader rates for attribution
-    results["pipeline"] = point(2, cap=330, pipeline=True)
-    emit_partial()
-
-    # 3. the remaining BASELINE configs
+    # 3. the remaining BASELINE configs — BEFORE the round-5 extras, so
+    #    a cold-cache run that also ate a probe hang still lands all
+    #    five judged configs inside the budget
     for cid, cap in ((1, 240), (3, 300), (4, 330), (5, 330)):
         results[str(cid)] = point(cid, cap=cap)
         emit_partial()
+
+    # 3a. fed input pipeline (round-4 verdict ask #1): disk → decode →
+    #     augment → device_put → real train step, plus per-backend
+    #     host-only loader rates and H2D attribution
+    results["pipeline"] = point(2, cap=330, pipeline=True)
+    emit_partial()
 
     # 3b. config-3 repeatability (round-4 verdict ask #6: the ~11%
     #     cfg3 swing had no spread data): re-run the point twice in the
