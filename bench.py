@@ -1024,10 +1024,15 @@ def orchestrate(args, base_spec: dict):
         if isinstance(r, dict) and "images_per_sec_per_chip" in r
     )
     if vals:
+        import statistics
+
         results["cfg3_repeats"] = {
             "values": [round(v, 2) for v in vals],
             "min": round(vals[0], 2),
-            "median": round(vals[len(vals) // 2], 2),
+            # true median (vals[n//2] is the MAX for n=2 — a repeat that
+            # errored out would have made the 'stable' figure the
+            # optimistic extreme)
+            "median": round(statistics.median(vals), 2),
             "spread_pct": round(100 * (vals[-1] - vals[0]) / vals[-1], 2),
         }
     emit_partial()

@@ -63,6 +63,50 @@ def _take_lut(lut: np.ndarray, ignore_index: int) -> np.ndarray:
     return full
 
 
+def prune_stale(
+    cache_root: str,
+    older_than_days: float = 30.0,
+    tmp_older_than_hours: float = 2.0,
+) -> int:
+    """Delete abandoned cache state under ``cache_root``: ``*.tmp.*``
+    build dirs older than ``tmp_older_than_hours`` (a killed builder's
+    leftovers) and ``raw_*`` fingerprint dirs whose ``meta.json`` has
+    not been touched for ``older_than_days`` (every dataset open
+    refreshes the stamp, so anything in use survives). Each obsolete
+    fingerprint is N·H·W·3 bytes — without this, every file-mtime or
+    resize change would abandon gigabytes forever. Returns the number
+    of directories removed. Runs automatically on every cache open."""
+    import shutil
+    import time as _time
+
+    if not os.path.isdir(cache_root):
+        return 0
+    now = _time.time()
+    removed = 0
+    for name in os.listdir(cache_root):
+        path = os.path.join(cache_root, name)
+        if not os.path.isdir(path):
+            continue
+        try:
+            if ".tmp." in name:
+                if now - os.path.getmtime(path) > tmp_older_than_hours * 3600:
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed += 1
+            elif name.startswith("raw_"):
+                meta = os.path.join(path, "meta.json")
+                stamp = (
+                    os.path.getmtime(meta)
+                    if os.path.exists(meta)
+                    else os.path.getmtime(path)
+                )
+                if now - stamp > older_than_days * 86400:
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed += 1
+        except OSError:
+            continue
+    return removed
+
+
 class RawCacheDataset:
     """Wraps a decoded dataset (``HieroDataset``-shaped: ``img_paths``,
     ``msk_paths``, ``transform``, ``hierarchy``) with a raw memmap cache.
@@ -123,6 +167,15 @@ class RawCacheDataset:
         self.cache_path = os.path.join(root, f"raw_{self.split}_{fp}")
         self._build_if_missing(verbose)
         self._open_memmaps()
+        # mark this fingerprint as in-use (prune_stale keys on it) and
+        # sweep the cache root: orphan tmp dirs from killed builders and
+        # fingerprints untouched for 30 days (every open refreshes the
+        # stamp, so anything in active use survives)
+        try:
+            os.utime(os.path.join(self.cache_path, "meta.json"))
+            prune_stale(os.path.dirname(self.cache_path))
+        except OSError:
+            pass
 
     def _open_memmaps(self):
         n = len(self.base)

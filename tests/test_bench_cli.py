@@ -66,8 +66,15 @@ def test_bench_pipeline_dry_run():
     assert rec["value"] > 0
     det_lines = [l for l in lines if l.startswith("# details: ")]
     det = json.loads(det_lines[-1][len("# details: "):])
-    for variant in ("pil", "pil_w4", "native", "cache", "cache_devflip"):
-        assert det["host"][variant] > 0, det["host"]
+    for variant in ("pil", "pil_w4", "cache", "cache_devflip"):
+        rate = det["host"][variant]
+        assert isinstance(rate, (int, float)) and rate > 0, (variant, rate)
+    # the native backend may legitimately be unavailable on some hosts
+    # (the bench degrades it to an 'error: ...' string by design)
+    native = det["host"]["native"]
+    assert (isinstance(native, (int, float)) and native > 0) or (
+        isinstance(native, str) and native.startswith("error:")
+    ), native
     assert det["h2d"]["mb_per_s"] > 0
     for fed in ("fed_pil", "fed_cache_devflip"):
         assert det[fed]["images_per_sec"] > 0, det[fed]

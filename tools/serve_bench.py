@@ -35,73 +35,20 @@ def _percentile(xs, q):
     return float(np.percentile(np.asarray(xs), q)) if xs else float("nan")
 
 
-def _drive(url: str, hw, concurrency: int, n_requests: int):
-    """Fire ``n_requests`` total from ``concurrency`` worker threads;
-    each worker sends its share back-to-back (closed-loop clients)."""
-    rng = np.random.default_rng(0)
+def _npz_body(hw, rng):
     img = rng.integers(0, 256, (hw[0], hw[1], 3)).astype(np.uint8)
     buf = io.BytesIO()
     np.save(buf, img)
-    body = buf.getvalue()
-
-    latencies, codes = [], []
-    lock = threading.Lock()
-
-    def worker(k: int):
-        for _ in range(k):
-            req = urllib.request.Request(
-                url + "/predict?format=npz", data=body, method="POST"
-            )
-            req.add_header("Content-Type", "application/octet-stream")
-            t0 = time.perf_counter()
-            try:
-                with urllib.request.urlopen(req, timeout=120) as r:
-                    r.read()
-                    code = r.status
-            except urllib.error.HTTPError as e:
-                e.read()
-                code = e.code
-            dt = time.perf_counter() - t0
-            with lock:
-                latencies.append(dt)
-                codes.append(code)
-
-    share, extra = divmod(n_requests, concurrency)
-    threads = [
-        threading.Thread(target=worker, args=(share + (1 if i < extra else 0),))
-        for i in range(concurrency)
-    ]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
-    ok = [l for l, c in zip(latencies, codes) if c == 200]
-    return {
-        "concurrency": concurrency,
-        "requests": n_requests,
-        "ok": sum(1 for c in codes if c == 200),
-        "shed_503": sum(1 for c in codes if c == 503),
-        "wall_s": round(wall, 3),
-        "img_per_sec": round(sum(1 for c in codes if c == 200) / wall, 2),
-        "p50_ms": round(_percentile(ok, 50) * 1e3, 1),
-        "p99_ms": round(_percentile(ok, 99) * 1e3, 1),
-    }
+    return buf.getvalue()
 
 
-def _drive_mixed(url: str, sizes, concurrency: int, n_requests: int):
-    """Mixed-size closed-loop drive (round-4 verdict ask #8): each worker
-    cycles through ``sizes``; asserts every 200 response's mask comes
-    back at the REQUEST's own size (no silent downsizing)."""
-    rng = np.random.default_rng(0)
-    bodies = []
-    for hw in sizes:
-        img = rng.integers(0, 256, (hw[0], hw[1], 3)).astype(np.uint8)
-        buf = io.BytesIO()
-        np.save(buf, img)
-        bodies.append((tuple(hw), buf.getvalue()))
-
+def _closed_loop(url, bodies, concurrency, n_requests, check_shape):
+    """Shared closed-loop driver: ``concurrency`` worker threads each
+    send their share back-to-back, cycling through ``bodies`` (a list of
+    ((H, W), payload)). Every outcome is accounted: transport errors
+    (URLError, timeouts, bad payloads) record code 0 instead of killing
+    the worker thread silently. With ``check_shape``, each OK response's
+    mask shape is compared to its request size."""
     latencies, codes = [], []
     shape_ok = [0]
     lock = threading.Lock()
@@ -119,11 +66,16 @@ def _drive_mixed(url: str, sizes, concurrency: int, n_requests: int):
                 with urllib.request.urlopen(req, timeout=120) as r:
                     payload = r.read()
                     code = r.status
-                with np.load(io.BytesIO(payload)) as z:
-                    ok_shape = tuple(z["fine"].shape) == hw
+                if check_shape:
+                    with np.load(io.BytesIO(payload)) as z:
+                        ok_shape = tuple(z["fine"].shape) == hw
             except urllib.error.HTTPError as e:
                 e.read()
                 code = e.code
+            except Exception as e:  # URLError, socket timeout, bad npz
+                print(f"# request error: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                code = 0
             dt = time.perf_counter() - t0
             with lock:
                 latencies.append(dt)
@@ -143,25 +95,50 @@ def _drive_mixed(url: str, sizes, concurrency: int, n_requests: int):
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
+    assert len(codes) == n_requests, (len(codes), n_requests)
     ok = [l for l, c in zip(latencies, codes) if c == 200]
-    n_ok = sum(1 for c in codes if c == 200)
-    if shape_ok[0] != n_ok:
-        raise AssertionError(
-            f"{n_ok - shape_ok[0]} of {n_ok} OK responses came back at a "
-            "size other than the request's own — the multi-size routing "
-            "contract is broken"
-        )
-    return {
-        "sizes": [list(s) for s, _ in bodies],
+    n_ok = len(ok)
+    row = {
         "concurrency": concurrency,
         "requests": n_requests,
         "ok": n_ok,
-        "responses_at_request_size": shape_ok[0],
+        "shed_503": sum(1 for c in codes if c == 503),
+        "transport_errors": sum(1 for c in codes if c == 0),
         "wall_s": round(wall, 3),
         "img_per_sec": round(n_ok / wall, 2),
         "p50_ms": round(_percentile(ok, 50) * 1e3, 1),
         "p99_ms": round(_percentile(ok, 99) * 1e3, 1),
     }
+    if check_shape:
+        if shape_ok[0] != n_ok:
+            raise AssertionError(
+                f"{n_ok - shape_ok[0]} of {n_ok} OK responses came back "
+                "at a size other than the request's own — the multi-size "
+                "routing contract is broken"
+            )
+        row["responses_at_request_size"] = shape_ok[0]
+    return row
+
+
+def _drive(url: str, hw, concurrency: int, n_requests: int):
+    """Single-size closed-loop drive."""
+    rng = np.random.default_rng(0)
+    return _closed_loop(
+        url, [(tuple(hw), _npz_body(hw, rng))], concurrency, n_requests,
+        check_shape=False,
+    )
+
+
+def _drive_mixed(url: str, sizes, concurrency: int, n_requests: int):
+    """Mixed-size drive (round-4 verdict ask #8): workers cycle through
+    ``sizes``; HARD-FAILS unless every OK response's mask comes back at
+    the REQUEST's own size (no silent downsizing)."""
+    rng = np.random.default_rng(0)
+    bodies = [(tuple(hw), _npz_body(hw, rng)) for hw in sizes]
+    row = _closed_loop(url, bodies, concurrency, n_requests,
+                       check_shape=True)
+    row["sizes"] = [list(s) for s, _ in bodies]
+    return row
 
 
 def _start_server(artifact: str, max_batch: int, port: int, max_queue: int):
