@@ -274,3 +274,24 @@ def test_wide_hierarchy_int32_storage_and_pickle(tmp_path):
     np.testing.assert_array_equal(
         ds2.get_batch([1])["image"], ds.get_batch([1])["image"]
     )
+
+
+def test_prune_stale(tmp_path):
+    """Cache-root hygiene: orphan tmp build dirs and month-stale
+    fingerprints are swept; fresh fingerprints survive."""
+    import os
+    import time
+
+    from seghiero_tpu.data.cache import prune_stale
+
+    root = tmp_path / "cacheroot"
+    (root / "raw_train_old").mkdir(parents=True)
+    (root / "raw_train_new").mkdir()
+    (root / "raw_val_x.tmp.999").mkdir()
+    (root / "raw_train_old" / "meta.json").write_text("{}")
+    (root / "raw_train_new" / "meta.json").write_text("{}")
+    old = time.time() - 40 * 86400
+    os.utime(root / "raw_train_old" / "meta.json", (old, old))
+    os.utime(root / "raw_val_x.tmp.999", (old, old))
+    assert prune_stale(str(root)) == 2
+    assert sorted(os.listdir(root)) == ["raw_train_new"]
