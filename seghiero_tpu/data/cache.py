@@ -346,3 +346,50 @@ class RawCacheDataset:
                 if h.has_super:
                     out["super"] = h.map_fine_labels(out["fine"], "super")
         return out
+
+
+def main(argv=None) -> None:
+    """``python -m seghiero_tpu.data.cache --config cfg.yaml``: pre-build
+    the raw caches offline (both splits) so a training job starts warm —
+    useful when the cache lives on shared storage and the first-epoch
+    decode cost should not land inside the job's wall-clock. Also
+    exposes ``--prune`` for explicit cache-root hygiene."""
+    import argparse
+
+    from seghiero_tpu.config import load_config
+
+    p = argparse.ArgumentParser(
+        description="Pre-build (or prune) the raw decoded-sample cache"
+    )
+    p.add_argument("--config", required=True, help="YAML config with "
+                   "dataset.cache: raw (or any file-backed dataset — "
+                   "cache is forced on here)")
+    p.add_argument("--splits", default="train,val")
+    p.add_argument("--prune-days", type=float, default=None,
+                   help="also prune fingerprints untouched this many days")
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    from seghiero_tpu.data.dataset import build_dataset
+
+    cfg = load_config(args.config)
+    if cfg.dataset.cache != "raw":
+        cfg = dataclasses.replace(
+            cfg, dataset=dataclasses.replace(cfg.dataset, cache="raw")
+        )
+    for split in args.splits.split(","):
+        ds = build_dataset(cfg, split.strip(), verbose=True)
+        print(
+            f"→ {split}: {len(ds)} samples cached at {ds.cache_path} "
+            f"({os.path.getsize(os.path.join(ds.cache_path, 'images.u8')) / 2**20:.1f} MiB images)"
+        )
+        if args.prune_days is not None:
+            n = prune_stale(
+                os.path.dirname(ds.cache_path), older_than_days=args.prune_days
+            )
+            print(f"→ pruned {n} stale cache dirs")
+
+
+if __name__ == "__main__":
+    main()
