@@ -295,3 +295,35 @@ def test_prune_stale(tmp_path):
     os.utime(root / "raw_val_x.tmp.999", (old, old))
     assert prune_stale(str(root)) == 2
     assert sorted(os.listdir(root)) == ["raw_train_new"]
+
+
+def test_cache_prebuild_cli(tmp_path, classes_2level, capsys):
+    """python -m seghiero_tpu.data.cache --config ... builds both
+    splits' caches offline (cache forced on even if the config says
+    none) and supports explicit pruning."""
+    import os
+
+    import yaml
+
+    from seghiero_tpu.data.cache import main as cache_main
+
+    _write_files(tmp_path / "data", n=4)
+    cfg = {
+        "dataset": {
+            "root": str(tmp_path / "data"),
+            "train": {"image_subdir": "train/img", "mask_subdir": "train/msk"},
+            "val": {"image_subdir": "val/img", "mask_subdir": "val/msk"},
+            "cache_dir": str(tmp_path / "cache"),
+        },
+        "classes": classes_2level,
+        "transform": {"resize": [16, 16]},
+        "output": {"checkpoint_dir": str(tmp_path), "project_name": "c"},
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    cache_main(["--config", str(p), "--prune-days", "30"])
+    out = capsys.readouterr().out
+    assert "train: 4 samples cached" in out and "val: 4 samples cached" in out
+    dirs = sorted(os.listdir(tmp_path / "cache"))
+    assert any(d.startswith("raw_train_") for d in dirs)
+    assert any(d.startswith("raw_val_") for d in dirs)
