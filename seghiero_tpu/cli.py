@@ -167,6 +167,16 @@ def infer_main(argv=None) -> int:
         "batch-polymorphic serving artifact (StableHLO via jax.export) "
         "to DIR; see seghiero_tpu/infer/export.py",
     )
+    p.add_argument(
+        "--export-sizes",
+        type=str,
+        default=None,
+        metavar="HxW,...",
+        help="extra input shape buckets for --export (e.g. "
+        "'768x768,1024x1024'); the serving daemon routes each request "
+        "to the smallest covering bucket and responds at the request's "
+        "own resolution",
+    )
     args = p.parse_args(argv)
     if args.image_dir:
         exts = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp"}
@@ -196,11 +206,24 @@ def infer_main(argv=None) -> int:
     if args.export:
         from seghiero_tpu.infer.export import export_predictor
 
-        meta = export_predictor(predictor, args.export, consistent=args.consistent)
+        sizes = None
+        if args.export_sizes:
+            try:
+                sizes = [
+                    tuple(int(x) for x in s.split("x"))
+                    for s in args.export_sizes.split(",")
+                ]
+            except ValueError:
+                p.error(f"--export-sizes must be 'HxW,...', got "
+                        f"{args.export_sizes!r}")
+        meta = export_predictor(
+            predictor, args.export, consistent=args.consistent,
+            input_sizes=sizes,
+        )
         print(
             f"→ Exported serving artifact to {args.export} "
             f"(platforms: {', '.join(meta['platforms'])}; "
-            f"input {meta['input']['shape']})"
+            f"input sizes {meta['input_sizes']})"
         )
         if not args.image:
             return 0

@@ -327,3 +327,20 @@ def test_cache_prebuild_cli(tmp_path, classes_2level, capsys):
     dirs = sorted(os.listdir(tmp_path / "cache"))
     assert any(d.startswith("raw_train_") for d in dirs)
     assert any(d.startswith("raw_val_") for d in dirs)
+
+
+def test_grain_loader_with_cache_worker_process(files):
+    """grain worker_count=1 pickles the dataset into a real worker
+    process — exercising the __getstate__/__setstate__ memmap reopen
+    path end-to-end. Batches must match the in-process loader exactly."""
+    from seghiero_tpu.data.pipeline import GrainBatchLoader
+
+    cached = build_dataset(files, "val", seed=1, verbose=False)
+    inproc = GrainBatchLoader(cached, 2, drop_last=True, num_workers=0)
+    worker = GrainBatchLoader(cached, 2, drop_last=True, num_workers=1)
+    a = list(inproc)
+    b = list(worker)
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])
