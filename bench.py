@@ -162,7 +162,8 @@ def build(spec: dict):
         "mesh": {"data": n_dev},
         "steps_per_dispatch": spec.get("steps_per_dispatch") or 1,
     }
-    for knob in ("rmi_precision", "hiera_precision", "compiler_options"):
+    for knob in ("rmi_precision", "hiera_precision", "compiler_options",
+                 "rmi_backend", "rmi_streaming"):
         if spec.get(knob):
             training[knob] = spec[knob]
     if spec.get("pallas_fused_loss"):
@@ -1043,6 +1044,17 @@ def orchestrate(args, base_spec: dict):
         results["rmi_fast"] = {
             "3": point(3, cap=240, rmi_precision="fast"),
             "4": point(4, cap=300, rmi_precision="fast"),
+        }
+        emit_partial()
+        # config-3 b8 operating point (round 5, decision 28): the
+        # BASELINE-pinned b4 pays a per-image batch<8 layout tax
+        # (sublane-padded batch dim un-fuses backbone BN into ~12 ms of
+        # copies — profiled); b8 measured +75% img/s/chip at parity and
+        # +103% with rmi fast
+        results["cfg3_b8"] = {
+            "parity": point(3, cap=300, batch_override=8),
+            "rmi_fast": point(3, cap=300, batch_override=8,
+                              rmi_precision="fast"),
         }
         emit_partial()
         # hiera_precision: parity — the oracle-exact mode (default is
