@@ -1039,22 +1039,22 @@ def orchestrate(args, base_spec: dict):
     emit_partial()
 
     if not args.no_sweep:
+        # config-3 b8 operating point FIRST (round 5, decision 28): the
+        # BASELINE-pinned b4 pays a per-image batch<8 layout tax
+        # (sublane-padded batch dim un-fuses backbone BN into ~12 ms of
+        # copies — profiled); b8 measured +75% img/s/chip at parity and
+        # +103% with rmi fast — the most valuable sweep capture
+        results["cfg3_b8"] = {
+            "parity": point(3, cap=300, batch_override=8),
+            "rmi_fast": point(3, cap=300, batch_override=8,
+                              rmi_precision="fast"),
+        }
+        emit_partial()
         # rmi_precision: fast — the bf16-Gram RMI mode (+17% on config 3
         # in DESIGN.md; default stays parity, decision 23)
         results["rmi_fast"] = {
             "3": point(3, cap=240, rmi_precision="fast"),
             "4": point(4, cap=300, rmi_precision="fast"),
-        }
-        emit_partial()
-        # config-3 b8 operating point (round 5, decision 28): the
-        # BASELINE-pinned b4 pays a per-image batch<8 layout tax
-        # (sublane-padded batch dim un-fuses backbone BN into ~12 ms of
-        # copies — profiled); b8 measured +75% img/s/chip at parity and
-        # +103% with rmi fast
-        results["cfg3_b8"] = {
-            "parity": point(3, cap=300, batch_override=8),
-            "rmi_fast": point(3, cap=300, batch_override=8,
-                              rmi_precision="fast"),
         }
         emit_partial()
         # hiera_precision: parity — the oracle-exact mode (default is
