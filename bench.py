@@ -1050,6 +1050,15 @@ def orchestrate(args, base_spec: dict):
                               rmi_precision="fast"),
         }
         emit_partial()
+        # config-4 b8 (same decision-28 tax: b2 40.1 ms/img, b4 44.1 —
+        # a local minimum that hid the knee — b8 19.9 ms/img, +101%;
+        # 57.7 img/s with rmi fast, no remat needed)
+        results["cfg4_b8"] = {
+            "parity": point(4, cap=330, batch_override=8),
+            "rmi_fast": point(4, cap=330, batch_override=8,
+                              rmi_precision="fast"),
+        }
+        emit_partial()
         # rmi_precision: fast — the bf16-Gram RMI mode (+17% on config 3
         # in DESIGN.md; default stays parity, decision 23)
         results["rmi_fast"] = {
